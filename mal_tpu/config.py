@@ -1,0 +1,166 @@
+"""Configuration system.
+
+A typed dataclass tree replacing the reference's four argparse option stacks
+(`manydepth/options.py:13-456`, `dynamicdepth/options.py`,
+`dualrefine/options.py`). Defaults mirror the reference training recipe:
+batch 12, lr 1e-4, 20 epochs, 96 depth bins, 192x640, frames {0,-1,+1},
+smoothness 1e-3 (`manydepth/options.py:50-109`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level configuration for training / evaluation.
+
+    Frozen (hashable) so it can be closed over by jit'd functions as a static
+    argument.
+    """
+
+    # --- model ---
+    model_name: str = "mal"
+    method: str = "manydepth"  # manydepth | dynamicdepth | dualrefine
+    num_layers: int = 18
+    height: int = 192
+    width: int = 640
+    num_depth_bins: int = 96
+    depth_binning: str = "linear"  # linear | inverse | log
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    pose_cnn: bool = False
+
+    # --- frames ---
+    # frame offsets used for the photometric loss; first must be 0.
+    frame_ids: tuple[int, ...] = (0, -1, 1)
+    num_matching_frames: int = 1
+    use_future_frame: bool = False
+
+    # --- training ---
+    batch_size: int = 12
+    learning_rate: float = 1e-4
+    num_epochs: int = 20
+    disparity_smoothness: float = 1e-3
+    warmup_steps: int = 500
+    decay_steps: int = 48000
+    init_lr: float = 1e-10
+    # matching augmentation probabilities (static-camera / zero-cost-volume)
+    # (`manydepth/networks/repdepth.py:279-293`)
+    aug_static_camera_p: float = 0.25
+    aug_zero_cost_volume_p: float = 0.25
+    disable_automasking: bool = False
+    disable_motion_masking: bool = False
+    no_matching_augmentation: bool = False
+    freeze_teacher_and_pose: bool = False
+    freeze_pose: bool = False
+
+    # --- MAL hints ---
+    distil: bool = True           # distillation hint
+    use_ensemble: bool = True     # 3-way {mono, ensemble, multi} distillation
+    dual_distil: bool = False     # distil toward non-detached mono depth
+    loss_blc: bool = True         # automatic two-term loss re-balancing
+    temporal: bool = False        # temporal hint (dynamic-object synthesis)
+    main_temporal: bool = False
+    ins_threshold: float = 0.5    # instance score threshold for temporal hint
+    max_instances: int = 8        # static-shape cap on instances per image
+    # loss-balancing lambda schedule (`manydepth/options.py:443-445`)
+    lambda_for_adjust_start: float = 3.0
+    lambda_for_adjust_slope: float = -1.5
+    lambda_for_adjust_min: float = -3.0
+
+    # --- depth-bin tracker ---
+    adaptive_bins: bool = True
+    depth_bin_ema: float = 0.99
+
+    # --- precision / performance ---
+    compute_dtype: str = "float32"   # float32 | bfloat16
+    use_pallas: bool = True          # use Pallas kernels where available
+    remat: bool = False              # jax.checkpoint the encoders
+
+    # --- parallelism ---
+    data_axis: str = "data"
+    num_data_shards: int = 1
+
+    # --- data ---
+    dataset: str = "kitti"
+    data_path: str = "../input"
+    split: str = "eigen_zhou"
+    eval_split: str = "eigen"
+    png: bool = False
+    num_workers: int = 8
+
+    # --- dynamicdepth options (occlusion-aware cost volume / DOMD warp) ---
+    cv_min: bool = False
+    cv_set_1: bool = False
+    cv_pool: bool = False
+    cv_pool_radius: int = 2
+    cv_pool_th: float = 0.15
+    no_teacher_warp: bool = False
+
+    # --- dualrefine options (DEQ refinement) ---
+    deq_iters: int = 12
+    deq_eval_factor: float = 1.5
+    corr_radius: int = 4
+    corr_levels: int = 4
+    num_pose_iter: int = 2
+    gap_factor: float = 1.0
+    phantom_grad_steps: int = 1
+
+    # --- logging / checkpointing ---
+    log_every: int = 50
+    validate_every: int = 1000
+    ckpt_dir: str = "./ckpt"
+
+    @property
+    def frames_to_load(self) -> tuple[int, ...]:
+        out = list(self.frame_ids)
+        for idx in range(-1, -1 - self.num_matching_frames, -1):
+            if idx not in out:
+                out.append(idx)
+        return tuple(out)
+
+    @property
+    def matching_ids(self) -> tuple[int, ...]:
+        out = [0]
+        if self.use_future_frame:
+            out.append(1)
+        for idx in range(-1, -1 - self.num_matching_frames, -1):
+            out.append(idx)
+        return tuple(out)
+
+    @property
+    def num_scales(self) -> int:
+        return 1  # the reference decoder emits a single full-res disparity
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in field_names}
+        for k in ("frame_ids",):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+
+# Dataset presets, mirroring the trainer's option mutation
+# (`manydepth/trainer.py:129-142`).
+KITTI = Config()
+CITYSCAPES = Config(
+    dataset="cityscapes_preprocessed", height=192, width=512,
+    split="cityscapes_preprocessed", eval_split="cityscapes",
+)
+DDAD = Config(dataset="ddad", height=384, width=640, split="ddad", eval_split="ddad")
+
+PRESETS = {"kitti": KITTI, "cityscapes": CITYSCAPES, "ddad": DDAD}

@@ -1,0 +1,246 @@
+"""Self-supervised depth losses + MAL hints (pure JAX, NHWC).
+
+One shared implementation of:
+- SSIM+L1 reprojection with min-reprojection automasking
+  (`manydepth/loss_utils.py:27-55`, `manydepth/trainer.py:1211-1243`)
+- edge-aware disparity smoothness (`manydepth/layers.py:210-223`)
+- teacher (mono) losses (`manydepth/loss_utils.py:57-129`)
+- student (multi) losses with consistency masking and the MAL
+  *distillation hint* — per-pixel {mono, ensemble, multi} argmin selection
+  (`manydepth/loss_utils.py:131-281`)
+- automatic two-term loss re-balancing as a *functional* state
+  (`manydepth/loss_utils.py:283-345`), instead of host-side numpy.
+
+All stochasticity (automask tie-break noise) takes an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mal_tpu.ops.ssim import ssim
+
+Array = jax.Array
+
+
+def reprojection_loss(pred: Array, target: Array) -> Array:
+    """0.85*SSIM + 0.15*L1, averaged over channels -> (B, H, W, 1)."""
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    s = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
+    return 0.85 * s + 0.15 * l1
+
+
+def smooth_loss(disp: Array, img: Array) -> Array:
+    """Edge-aware smoothness on (mean-normalized) disparity. Scalar."""
+    grad_disp_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+    grad_disp_y = jnp.abs(disp[:, :-1] - disp[:, 1:])
+    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1] - img[:, :, 1:]), -1, keepdims=True)
+    grad_img_y = jnp.mean(jnp.abs(img[:, :-1] - img[:, 1:]), -1, keepdims=True)
+    grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
+    grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
+    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+
+
+def normalized_smooth_loss(disp: Array, img: Array) -> Array:
+    mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+    return smooth_loss(disp / (mean_disp + 1e-7), img)
+
+
+def automask(reproj: Array, identity: Array) -> Array:
+    """1 where the warped reprojection beats the identity (static-scene) loss.
+
+    Reference: `manydepth/loss_utils.py:27-44` — argmin over [reproj, identity].
+    """
+    return (reproj <= identity).astype(reproj.dtype)
+
+
+def min_reprojection(preds: Sequence[Array], target: Array) -> Array:
+    """Per-pixel min over a list of reprojection losses -> (B, H, W, 1)."""
+    losses = jnp.concatenate([reprojection_loss(p, target) for p in preds], axis=-1)
+    return jnp.min(losses, axis=-1, keepdims=True)
+
+
+class MonoLossOut(NamedTuple):
+    loss: Array          # scalar total (reproj + smooth)
+    reproj_loss: Array   # scalar masked reprojection
+    smooth: Array        # scalar smoothness
+    min_reproj: Array    # (B, H, W, 1) min reprojection map (for distillation)
+
+
+def mono_losses(
+    rng: Array,
+    disp: Array,                  # (B, H, W, 1) full-res sigmoid disparity
+    color: Array,                 # (B, H, W, 3) target frame (non-aug)
+    warped: Sequence[Array],      # warped adjacent frames, each (B, H, W, 3)
+    identity: Sequence[Array],    # raw adjacent frames (automask)
+    syn: Sequence[Array] = (),    # MAL temporal-hint synthesized frames
+    smoothness_weight: float = 1e-3,
+) -> MonoLossOut:
+    """Teacher losses. Reference: `manydepth/loss_utils.py:57-129`."""
+    reproj_all = [reprojection_loss(p, color) for p in list(warped) + list(syn)]
+    reproj_all = jnp.concatenate(reproj_all, axis=-1)
+    reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
+
+    ident = jnp.concatenate([reprojection_loss(p, color) for p in identity], -1)
+    ident_min = jnp.min(ident, axis=-1, keepdims=True)
+    noise = jax.random.normal(rng, ident_min.shape, ident_min.dtype) * 1e-5
+    mask = automask(reproj_min, ident_min + noise)
+
+    reproj = jnp.sum(reproj_min * mask) / (jnp.sum(mask) + 1e-7)
+    sm = normalized_smooth_loss(disp, color)
+    total = reproj + smoothness_weight * sm
+    return MonoLossOut(total, reproj, sm, reproj_min)
+
+
+class MultiLossOut(NamedTuple):
+    loss: Array             # scalar "original" loss (reproj+consistency+smooth)
+    distil_loss: Array      # scalar distillation loss
+    reproj_loss: Array
+    consistency_loss: Array
+    smooth: Array
+    consistency_mask: Array  # (B, H, W, 1) 1 where consistency applies
+
+
+def multi_losses(
+    disp: Array,                 # (B, H, W, 1) student disparity (full-res)
+    color: Array,                # (B, H, W, 3) target frame
+    warped: Sequence[Array],     # student-warped adjacent frames
+    multi_depth: Array,          # (B, H, W, 1) student depth
+    mono_depth: Array,           # (B, H, W, 1) teacher depth (caller detaches)
+    consistency_mask_in: Array,  # (B, H, W) cost-volume confidence x matching mask
+    augmentation_mask: Array,    # (B, 1, 1, 1) 1 where matching was augmented
+    mono_min_reproj: Array,      # (B, H, W, 1) from mono_losses
+    syn: Sequence[Array] = (),   # MAL temporal hint (main_temporal)
+    ensemble_min_reproj: Array | None = None,  # (B, H, W, 1) or None
+    ensemble_depth: Array | None = None,
+    dual_distil_mono_depth: Array | None = None,  # non-detached teacher depth
+    smoothness_weight: float = 1e-3,
+) -> MultiLossOut:
+    """Student losses + MAL distillation hint.
+
+    Reference: `manydepth/loss_utils.py:131-281`. The reprojection mask is the
+    cost-volume consistency mask times (1 - augmentation mask); its complement
+    gates the teacher-consistency loss; the distillation target is the
+    per-pixel argmin over {mono, ensemble, multi} reprojection errors.
+    """
+    reproj_all = [reprojection_loss(p, color) for p in list(warped) + list(syn)]
+    reproj_all = jnp.concatenate(reproj_all, axis=-1)
+    multi_min_reproj = jnp.min(reproj_all, axis=-1, keepdims=True)
+
+    mask = consistency_mask_in[..., None] * (1.0 - augmentation_mask)
+    consistency_mask = 1.0 - mask
+
+    reproj = jnp.sum(multi_min_reproj * mask) / (jnp.sum(mask) + 1e-7)
+
+    consistency = jnp.mean(jnp.abs(multi_depth - mono_depth) * consistency_mask)
+
+    sm = normalized_smooth_loss(disp, color)
+    loss = reproj + consistency + smoothness_weight * sm
+
+    # --- distillation hint ---
+    if ensemble_min_reproj is None:
+        all_reproj = jnp.concatenate([mono_min_reproj, multi_min_reproj], -1)
+        idx = jnp.argmin(all_reproj, axis=-1, keepdims=True)
+        mono_term = dual_distil_mono_depth if dual_distil_mono_depth is not None else mono_depth
+        distil_depth = jnp.where(idx == 0, mono_term, multi_depth)
+    else:
+        all_reproj = jnp.concatenate(
+            [mono_min_reproj, ensemble_min_reproj, multi_min_reproj], -1)
+        idx = jnp.argmin(all_reproj, axis=-1, keepdims=True)
+        if ensemble_depth is None:
+            ensemble_depth = (mono_depth + multi_depth) / 2.0
+        distil_depth = jnp.where(idx == 0, mono_depth, ensemble_depth)
+        distil_depth = jnp.where(idx == 2, multi_depth, distil_depth)
+
+    distil = jnp.mean(jnp.abs(distil_depth - multi_depth) * (1.0 - consistency_mask))
+
+    return MultiLossOut(loss, distil, reproj, consistency, sm, consistency_mask)
+
+
+def matching_mask(mono_depth: Array, lowest_cost_disp: Array) -> Array:
+    """Mask where the argmin-cost depth and the teacher agree within 2x.
+
+    mono_depth: (B, H, W, 1); lowest_cost_disp: (B, H, W) full-res.
+    Reference: `manydepth/trainer.py:1066-1076`.
+    """
+    matching_depth = 1.0 / lowest_cost_disp[..., None]
+    m = ((matching_depth - mono_depth) / mono_depth) < 1.0
+    m &= ((mono_depth - matching_depth) / matching_depth) < 1.0
+    return m[..., 0].astype(mono_depth.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Automatic two-term loss re-balancing (functional)
+# ---------------------------------------------------------------------------
+
+class LossBalancerState(NamedTuple):
+    """Device-resident state for the ECCV'20-style 2-loss re-balancer.
+
+    Replaces the host-side numpy `LossBalancing` class
+    (`manydepth/loss_utils.py:283-345`); the running per-loss sums implement
+    the reference's cumulative within-epoch mean over `train_scores`.
+    """
+    w: Array            # (2,) loss weights
+    running_sum: Array  # (2,) cumulative per-loss sums this epoch
+    count: Array        # () number of iterations accumulated
+    prev_total: Array   # () previous weighted total loss
+    prev_mean: Array    # (2,) previous per-loss cumulative means
+    initialized: Array  # () bool
+
+    @classmethod
+    def create(cls) -> "LossBalancerState":
+        return cls(
+            w=jnp.array([0.5, 0.5], jnp.float32),
+            running_sum=jnp.zeros(2, jnp.float32),
+            count=jnp.zeros((), jnp.float32),
+            prev_total=jnp.zeros((), jnp.float32),
+            prev_mean=jnp.zeros(2, jnp.float32),
+            initialized=jnp.zeros((), bool),
+        )
+
+    def reset_epoch(self) -> "LossBalancerState":
+        return self._replace(running_sum=jnp.zeros(2, jnp.float32),
+                             count=jnp.zeros((), jnp.float32))
+
+
+def loss_balance(state: LossBalancerState, loss_list: Array,
+                 lambda_adjust: Array):
+    """Weighted total + updated balancer state.
+
+    loss_list: (2,) [original_loss, distil_loss] (already stop-gradient-safe:
+    the weighted sum keeps gradients; the statistics use stopped values).
+    lambda_adjust: scalar from the per-epoch schedule
+    max(start + epoch*slope, min) (`manydepth/trainer.py:458`).
+    """
+    total = state.w[0] * loss_list[0] + state.w[1] * loss_list[1]
+
+    stats = jax.lax.stop_gradient(loss_list)
+    running = state.running_sum + stats
+    count = state.count + 1.0
+    mean = running / count
+    cur_total = jnp.sum(mean * state.w)
+
+    # first call: initialize weights so each term contributes 1/2
+    w_init = cur_total * 0.5 / jnp.maximum(mean, 1e-12)
+
+    # subsequent: multiplicative bounded adjustment
+    ratio = jnp.where(state.prev_total > 0,
+                      (cur_total / jnp.maximum(state.prev_total, 1e-12))
+                      * (state.prev_mean / jnp.maximum(mean, 1e-12)),
+                      jnp.ones_like(mean))
+    adjust = jnp.clip(1.0 + lambda_adjust * (ratio - 1.0), 0.5, 2.0)
+    w_adj = jnp.where(state.prev_total > 0, state.w * adjust, state.w)
+
+    new_w = jnp.where(state.initialized, w_adj, w_init)
+    new_state = LossBalancerState(
+        w=new_w,
+        running_sum=running,
+        count=count,
+        prev_total=jnp.sum(mean * new_w),
+        prev_mean=mean,
+        initialized=jnp.ones((), bool),
+    )
+    return total, new_state

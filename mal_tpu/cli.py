@@ -1,0 +1,122 @@
+"""Command-line entry points.
+
+`python -m mal_tpu.cli train --preset kitti --data_path ...`
+`python -m mal_tpu.cli eval --ckpt ... --gt splits/eigen/gt_depths.npz`
+
+Replaces the reference's `python -m manydepth.train` / `evaluate_depth`
+argparse stacks; any Config field can be overridden with `--set key=value`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import sys
+
+import numpy as np
+
+from mal_tpu.config import PRESETS, Config
+
+
+def _apply_overrides(cfg: Config, pairs: list[str]) -> Config:
+    updates = {}
+    for pair in pairs:
+        key, value = pair.split("=", 1)
+        try:
+            updates[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            updates[key] = value
+    return cfg.replace(**updates)
+
+
+def _build_loaders(cfg: Config):
+    from mal_tpu.data.cityscapes import CityscapesPreprocessedDataset
+    from mal_tpu.data.kitti import KITTIRAWDataset
+    from mal_tpu.data.mono_dataset import DataLoader
+    from mal_tpu.utils.misc import readlines
+
+    datasets = {"kitti": KITTIRAWDataset,
+                "cityscapes_preprocessed": CityscapesPreprocessedDataset}
+    ds_cls = datasets[cfg.dataset]
+    split_dir = os.path.join("splits", cfg.split)
+    train_files = readlines(os.path.join(split_dir, "train_files.txt"))
+    ds = ds_cls(cfg.data_path, train_files, cfg.height, cfg.width,
+                cfg.frames_to_load, is_train=True,
+                img_ext=".png" if cfg.png else ".jpg")
+    return DataLoader(ds, cfg.batch_size, shuffle=True, drop_last=True)
+
+
+def cmd_train(args):
+    cfg = PRESETS[args.preset].replace(data_path=args.data_path)
+    cfg = _apply_overrides(cfg, args.set or [])
+    from mal_tpu.train.trainer import Trainer
+
+    loader = _build_loaders(cfg)
+    trainer = Trainer(cfg, loader)
+    trainer.train()
+
+
+def cmd_eval(args):
+    cfg = PRESETS[args.preset]
+    cfg = _apply_overrides(cfg, args.set or [])
+    import jax
+
+    from mal_tpu.eval.evaluate import evaluate_depth_maps, infer_disparities
+    from mal_tpu.models import MALModel
+
+    if args.ckpt.endswith(".pth") or os.path.isdir(args.ckpt) and \
+            any(f.endswith(".pth") for f in os.listdir(args.ckpt)):
+        from mal_tpu.convert import convert_mal_checkpoint_dir
+        params, stats, extras = convert_mal_checkpoint_dir(args.ckpt)
+        variables = {"params": params, "batch_stats": stats}
+        min_bin = float(extras.get("min_depth_bin", 0.1))
+        max_bin = float(extras.get("max_depth_bin", 10.0))
+    else:
+        raise SystemExit("orbax checkpoint eval: use mal_tpu.train.trainer")
+
+    # eval loader
+    from mal_tpu.data.kitti import KITTIRAWDataset
+    from mal_tpu.data.mono_dataset import DataLoader
+    from mal_tpu.utils.misc import readlines
+
+    files = readlines(os.path.join("splits", cfg.eval_split, "test_files.txt"))
+    ds = KITTIRAWDataset(args.data_path, files, cfg.height, cfg.width,
+                         [0, -1], is_train=False,
+                         img_ext=".png" if cfg.png else ".jpg")
+    loader = DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False)
+
+    model = MALModel(cfg)
+    disps = infer_disparities(model, variables, iter(loader), cfg,
+                              min_depth_bin=min_bin, max_depth_bin=max_bin)
+    gt = np.load(args.gt, fix_imports=True, encoding="latin1",
+                 allow_pickle=True)["data"]
+    results = evaluate_depth_maps(disps, gt, eval_split=cfg.eval_split)
+    print(json.dumps(results, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mal_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--preset", default="kitti", choices=list(PRESETS))
+    pt.add_argument("--data_path", required=True)
+    pt.add_argument("--set", nargs="*", help="config overrides key=value")
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("--preset", default="kitti", choices=list(PRESETS))
+    pe.add_argument("--data_path", required=True)
+    pe.add_argument("--ckpt", required=True)
+    pe.add_argument("--gt", required=True)
+    pe.add_argument("--set", nargs="*")
+    pe.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

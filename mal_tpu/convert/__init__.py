@@ -1,0 +1,9 @@
+from mal_tpu.convert.torch_weights import (  # noqa: F401
+    convert_resnet_trunk,
+    convert_depth_decoder,
+    convert_pose_decoder,
+    convert_pose_cnn,
+    convert_matching_encoder,
+    convert_mal_checkpoint_dir,
+    load_pth,
+)

@@ -1,0 +1,111 @@
+"""Depth evaluation protocol (host-side numpy + jit model inference).
+
+Reproduces `manydepth/evaluate_depth.py:66-288` (`validate`): scaled-disparity
+inference with eval-time depth range [1e-3, 80], bilinear resize of the
+disparity to GT resolution, Garg/eigen crop or CityScapes center crop, median
+scaling, clipping, and the 7-metric mean.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mal_tpu import geometry
+from mal_tpu.config import Config
+from mal_tpu.eval.metrics import compute_depth_errors_np
+from mal_tpu.ops.interp import resize_bilinear
+
+# eval-time depth range (`manydepth/evaluate_depth.py:296-299`)
+EVAL_MIN_DEPTH = 1e-3
+EVAL_MAX_DEPTH = 80.0
+
+
+def _resize_disp(disp: np.ndarray, gt_h: int, gt_w: int) -> np.ndarray:
+    """cv2.resize(INTER_LINEAR) equivalent (half-pixel bilinear)."""
+    out = resize_bilinear(jnp.asarray(disp)[None, :, :, None], gt_h, gt_w)
+    return np.asarray(out)[0, :, :, 0]
+
+
+def prepare_gt_and_pred(gt_depth: np.ndarray, pred_disp: np.ndarray,
+                        eval_split: str = "eigen",
+                        min_depth: float = EVAL_MIN_DEPTH,
+                        max_depth: float = EVAL_MAX_DEPTH,
+                        median_scaling: bool = True,
+                        pred_depth_scale_factor: float = 1.0):
+    """One image: returns (masked_gt, masked_scaled_pred, ratio)."""
+    if eval_split == "cityscapes":
+        gt_height = int(round(gt_depth.shape[0] * 0.75))
+        gt_depth = gt_depth[:gt_height]
+
+    gt_h, gt_w = gt_depth.shape[:2]
+    pred_depth = 1.0 / _resize_disp(pred_disp, gt_h, gt_w)
+
+    if eval_split == "cityscapes":
+        gt_depth = gt_depth[256:, 192:1856]
+        pred_depth = pred_depth[256:, 192:1856]
+
+    if eval_split == "eigen":
+        mask = np.logical_and(gt_depth > min_depth, gt_depth < max_depth)
+        crop = np.array([0.40810811 * gt_h, 0.99189189 * gt_h,
+                         0.03594771 * gt_w, 0.96405229 * gt_w]).astype(np.int32)
+        crop_mask = np.zeros_like(mask)
+        crop_mask[crop[0]:crop[1], crop[2]:crop[3]] = 1
+        mask = np.logical_and(mask, crop_mask)
+    elif eval_split == "cityscapes":
+        mask = np.logical_and(gt_depth > min_depth, gt_depth < max_depth)
+    else:
+        mask = gt_depth > 0
+
+    gt = gt_depth[mask]
+    pred = pred_depth[mask] * pred_depth_scale_factor
+
+    ratio = 1.0
+    if median_scaling:
+        ratio = np.median(gt) / np.median(pred)
+        pred = pred * ratio
+    pred = np.clip(pred, min_depth, max_depth)
+    return gt, pred, ratio
+
+
+def evaluate_depth_maps(pred_disps: Sequence[np.ndarray],
+                        gt_depths: Sequence[np.ndarray],
+                        eval_split: str = "eigen",
+                        median_scaling: bool = True) -> dict:
+    """Mean 7-metric dict over the split + median-scaling ratio stats."""
+    errors, ratios = [], []
+    for pred_disp, gt in zip(pred_disps, gt_depths):
+        g, p, r = prepare_gt_and_pred(gt, pred_disp, eval_split,
+                                      median_scaling=median_scaling)
+        errors.append(compute_depth_errors_np(g, p))
+        ratios.append(r)
+    mean = {k: float(np.mean([e[k] for e in errors])) for k in errors[0]}
+    ratios = np.array(ratios)
+    mean["med_ratio"] = float(np.median(ratios))
+    mean["std_ratio"] = float(np.std(ratios / np.median(ratios)))
+    return mean
+
+
+def infer_disparities(model, variables, batches: Iterable[dict], cfg: Config,
+                      eval_teacher: bool = False,
+                      min_depth_bin=None, max_depth_bin=None) -> np.ndarray:
+    """Run the jit eval forward over host batches; returns (N, H, W) scaled disps."""
+    if min_depth_bin is None:
+        min_depth_bin = jnp.asarray(0.1)
+    if max_depth_bin is None:
+        max_depth_bin = jnp.asarray(10.0)
+
+    @jax.jit
+    def forward(batch):
+        out = model.apply(variables, batch, min_depth_bin, max_depth_bin,
+                          method=type(model).eval_forward, mutable=False)
+        key = "mono_disp" if eval_teacher else "disp"
+        scaled_disp, _ = geometry.disp_to_depth(out[key], EVAL_MIN_DEPTH,
+                                                EVAL_MAX_DEPTH)
+        return scaled_disp[..., 0]
+
+    disps = [np.asarray(forward(b)) for b in batches]
+    return np.concatenate(disps, axis=0)

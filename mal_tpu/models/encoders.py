@@ -63,6 +63,9 @@ class ResnetEncoderMatching(nn.Module):
 
     def setup(self):
         self.trunk = ResNetFeatures(self.num_layers, 1, name="encoder")
+        width = 256 if self.num_layers in (50, 101, 152) else 64
+        self.reduce_conv = nn.Conv(width, (3, 3), padding=((1, 1), (1, 1)),
+                                   name="reduce_conv")
 
     def feature_extraction(self, image: Array, train: bool = False) -> list[Array]:
         """First two ResNet stages (`resnet_encoder.py:235-245`)."""
@@ -98,12 +101,10 @@ class ResnetEncoderMatching(nn.Module):
         # fuse [feats ‖ cost] back to the trunk width, then run stages 3-5
         # (`resnet_encoder.py:115-119,320-325`); cost moves to channel-last.
         cost_nhwc = jnp.moveaxis(cost_volume, 1, -1)  # (B, h, w, D)
-        fused = nn.relu(nn.Conv(cur_feats.shape[-1], (3, 3),
-                                padding=((1, 1), (1, 1)),
-                                name="reduce_conv")(
+        fused = nn.relu(self.reduce_conv(
             jnp.concatenate([cur_feats, cost_nhwc], axis=-1)))
 
-        deep = self.trunk(fused, train=train, stages=5, skip_to_stage=2)
+        deep = self.trunk(fused, train=train, stages=5, start_stage=2)
         features = feats + deep
         return features, lowest_cost, confidence
 

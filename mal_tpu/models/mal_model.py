@@ -111,13 +111,14 @@ class MALModel(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, inputs: dict, min_depth_bin, max_depth_bin,
-                 rng: Array, train: bool = True, train_teacher: bool = True):
+                 rng: Array, train: bool = True, train_teacher: bool = True,
+                 train_pose: bool = True):
         cfg = self.cfg
         aug = inputs["color_aug"]
         B = aug["0"].shape[0]
 
-        pose_outputs = self.predict_poses(inputs, train)
-        if not train_teacher:
+        pose_outputs = self.predict_poses(inputs, train and train_teacher and train_pose)
+        if not (train_teacher and train_pose):
             pose_outputs = jax.tree.map(jax.lax.stop_gradient, pose_outputs)
         outputs = dict(pose_outputs)
 
@@ -164,3 +165,46 @@ class MALModel(nn.Module):
         outputs["consistency_mask"] = resize_nearest(
             confidence_mask[..., None], H, W)[..., 0]
         return outputs
+
+    # ------------------------------------------------------------------
+    def eval_forward(self, inputs: dict, min_depth_bin, max_depth_bin,
+                     zero_cost_volume: bool = False):
+        """Inference path mirroring `manydepth/evaluate_depth.py:96-167`:
+        chain matching poses over the lookup frames, run the cost-volume
+        encoder + decoder, and the teacher for `eval_teacher`."""
+        cfg = self.cfg
+        color = inputs["color"]
+
+        rel_pose: dict[int, Array] = {}
+        lookup_ids = [f for f in cfg.matching_ids[1:]]
+        for fi in sorted(lookup_ids, reverse=True):  # -1, -2, ...
+            if fi < 0:
+                aa, t = self._pose_from_pair(color[str(fi)], color[str(fi + 1)],
+                                             train=False)
+                pose = geometry.transformation_from_parameters(aa, t, invert=True)
+                if fi != -1:
+                    pose = pose @ rel_pose[fi + 1]
+            else:
+                aa, t = self._pose_from_pair(color[str(fi - 1)], color[str(fi)],
+                                             train=False)
+                pose = geometry.transformation_from_parameters(aa, t, invert=False)
+                if fi != 1:
+                    pose = pose @ rel_pose[fi - 1]
+            rel_pose[fi] = pose
+
+        lookup_frames = jnp.stack([color[str(f)] for f in lookup_ids], 1)
+        poses = jnp.stack([rel_pose[f] for f in lookup_ids], 1)
+        if zero_cost_volume:
+            poses = poses * 0.0
+
+        K2 = geometry.scale_intrinsics(inputs["K"], 2)
+        inv_K2 = jnp.linalg.inv(K2)
+        features, lowest_cost, confidence = self.encoder(
+            color["0"], lookup_frames, poses, K2, inv_K2,
+            min_depth_bin, max_depth_bin, train=False)
+        disp = self.depth(features)
+
+        mono_feats = self.mono_encoder(color["0"], train=False)
+        mono_disp = self.mono_depth(mono_feats)
+        return {"disp": disp, "mono_disp": mono_disp,
+                "lowest_cost": lowest_cost, "consistency_mask": confidence}

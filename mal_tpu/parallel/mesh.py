@@ -1,0 +1,61 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's distributed runtime (HuggingFace
+Accelerate -> DDP over NCCL, `manydepth/trainer.py:309-311`; SURVEY.md §2.6):
+a `jax.sharding.Mesh` with the global batch sharded over the `data` axis.
+Under `jit`, XLA inserts the gradient all-reduce and makes every loss / metric
+/ depth-bin reduction a global collective — no NCCL analogue needed.
+
+The mesh is 1-D today (DP is the only strategy the reference has), but the
+API takes an axis name so batch-axis sharding extends to multi-pod meshes
+without change; `data_parallel_step` works for any number of devices
+including 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard every array in the batch pytree along its leading (batch) dim."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (parameters/optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_step(step_fn: Callable, mesh: Mesh,
+                       axis: str = "data") -> Callable:
+    """jit a (state, batch, rng, epoch) step with DP in/out shardings.
+
+    state/rng/epoch replicated; batch sharded on the data axis. Gradients and
+    all batch statistics reduce globally inside (XLA collectives over ICI).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+    )

@@ -1,0 +1,103 @@
+"""Training state: parameters, BN stats, optimizer, depth-bin tracker,
+loss-balancer — one pytree, checkpointable with orbax.
+
+The depth-bin tracker is the functional equivalent of the reference's
+torchmetrics `DepthBins` metric (`manydepth/trainer.py:75-103`): an EMA over
+per-step global-batch min/max teacher depth, with the cross-device reduction
+done by the caller (mean over the global batch happens automatically under
+pjit data sharding).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from mal_tpu.config import Config
+from mal_tpu.losses import LossBalancerState
+from mal_tpu.train.lr_schedule import warmup_step_schedule
+
+Array = jax.Array
+
+
+class DepthBinTracker(NamedTuple):
+    min_depth: Array  # ()
+    max_depth: Array  # ()
+    updated: Array    # () bool — mirror of `DepthBins.updated`
+
+    @classmethod
+    def create(cls, min_depth: float = 0.1, max_depth: float = 10.0):
+        return cls(jnp.asarray(min_depth, jnp.float32),
+                   jnp.asarray(max_depth, jnp.float32),
+                   jnp.zeros((), bool))
+
+    def update(self, mono_depth: Array, opt_min_depth: float,
+               ema: float = 0.99) -> "DepthBinTracker":
+        """mono_depth: (B, H, W, 1) teacher depth for the *global* batch."""
+        per_img_min = jnp.min(mono_depth, axis=(1, 2, 3))
+        per_img_max = jnp.max(mono_depth, axis=(1, 2, 3))
+        mn = jnp.maximum(opt_min_depth, jnp.mean(per_img_min) * 0.9)
+        mx = jnp.mean(per_img_max) * 1.1
+        return DepthBinTracker(
+            min_depth=self.min_depth * ema + mn * (1.0 - ema),
+            max_depth=self.max_depth * ema + mx * (1.0 - ema),
+            updated=jnp.ones((), bool),
+        )
+
+    def load(self, min_depth, max_depth) -> "DepthBinTracker":
+        return DepthBinTracker(
+            jnp.asarray(min_depth, jnp.float32).reshape(()),
+            jnp.asarray(max_depth, jnp.float32).reshape(()),
+            jnp.ones((), bool))
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    bins: DepthBinTracker
+    balancer: LossBalancerState
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    schedule = warmup_step_schedule(cfg.init_lr, cfg.learning_rate,
+                                    cfg.warmup_steps, cfg.decay_steps)
+    tx = optax.adam(schedule)
+
+    frozen: list[str] = []
+    if cfg.freeze_teacher_and_pose:
+        frozen += ["mono_encoder", "mono_depth", "pose_encoder", "pose"]
+    elif cfg.freeze_pose:
+        frozen += ["pose_encoder", "pose"]
+    if frozen:
+        def label_fn(params):
+            return {k: ("frozen" if k in frozen else "train")
+                    for k in params.keys()}
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+    return tx
+
+
+def create_train_state(cfg: Config, model, rng: Array,
+                       sample_inputs: dict) -> TrainState:
+    init_rng, aug_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng}, sample_inputs,
+        jnp.asarray(0.1), jnp.asarray(10.0), aug_rng, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        bins=DepthBinTracker.create(),
+        balancer=LossBalancerState.create(),
+    )

@@ -1,0 +1,183 @@
+"""The jit-compiled MAL training step.
+
+Functional re-design of `Trainer.process_batch` + `run_epoch`
+(`manydepth/trainer.py:449-644`): one traced function
+(state, batch, rng, epoch) -> (state, metrics) containing the teacher and
+student forward passes, photometric warps, MAL distillation, loss balancing,
+the Adam update, BN-stat updates, and the adaptive depth-bin EMA.
+
+Under a data-sharded `jit` (see `mal_tpu.parallel`), every reduction in here
+(loss means, gradient accumulation, the depth-bin batch statistics) becomes a
+cross-chip collective inserted by XLA — the TPU-native equivalent of the
+reference's Accelerate/DDP NCCL all-reduce + torchmetrics dist reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mal_tpu import geometry, losses
+from mal_tpu.config import Config
+from mal_tpu.ops.interp import grid_sample
+from mal_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def warp_frame(src: Array, depth: Array, T: Array, K: Array, inv_K: Array) -> Array:
+    """Inverse-warp `src` into the current view given depth + pose.
+
+    Reference: `manydepth/trainer.py:1111-1125` (border padding,
+    align_corners=True).
+    """
+    B, H, W, _ = src.shape
+    points = geometry.backproject(depth[..., 0], inv_K, H, W)
+    grid = geometry.project_3d(points, K, T, H, W)
+    return grid_sample(src, grid, padding_mode="border", align_corners=True)
+
+
+def _photometric_warps(cfg: Config, batch, outputs, depth, detach_T: bool):
+    """Warped adjacent frames for the photometric loss."""
+    warped = []
+    for f in cfg.frame_ids[1:]:
+        T = outputs[f"cam_T_cam/0/{f}"]
+        if detach_T:
+            T = jax.lax.stop_gradient(T)
+        warped.append(warp_frame(batch["color"][str(f)], depth, T,
+                                 batch["K"], batch["inv_K"]))
+    return warped
+
+
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation
+                    ) -> Callable:
+    """Build the jit-able train step for a given config/model/optimizer."""
+
+    train_teacher = not cfg.freeze_teacher_and_pose
+    train_pose = train_teacher and not cfg.freeze_pose
+
+    def train_step(state: TrainState, batch: dict, rng: Array,
+                   epoch: Array):
+        rng_model, rng_noise = jax.random.split(rng)
+        min_d, max_d = state.bins.min_depth, state.bins.max_depth
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, min_d, max_d, rng_model, train=True,
+                train_teacher=train_teacher, train_pose=train_pose,
+                mutable=["batch_stats"],
+            )
+            color0 = batch["color"]["0"]
+            identity = [batch["color"][str(f)] for f in cfg.frame_ids[1:]]
+
+            # --- teacher ---
+            _, mono_depth = geometry.disp_to_depth(
+                outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
+            mono_warped = _photometric_warps(cfg, batch, outputs, mono_depth,
+                                             detach_T=False)
+            mono_out = losses.mono_losses(
+                rng_noise, outputs["mono_disp"], color0, mono_warped,
+                identity, smoothness_weight=cfg.disparity_smoothness)
+
+            # --- student ---
+            _, multi_depth = geometry.disp_to_depth(
+                outputs["disp"], cfg.min_depth, cfg.max_depth)
+            multi_warped = _photometric_warps(cfg, batch, outputs, multi_depth,
+                                              detach_T=True)
+
+            mono_depth_sg = jax.lax.stop_gradient(mono_depth)
+            cmask = outputs["consistency_mask"] * losses.matching_mask(
+                mono_depth_sg, outputs["lowest_cost"])
+
+            ens_reproj = None
+            if cfg.distil and cfg.use_ensemble:
+                disp_ens = jax.lax.stop_gradient(
+                    (outputs["mono_disp"] + outputs["disp"]) / 2.0)
+                _, ens_depth = geometry.disp_to_depth(
+                    disp_ens, cfg.min_depth, cfg.max_depth)
+                ens_warped = _photometric_warps(cfg, batch, outputs, ens_depth,
+                                                detach_T=True)
+                ens_reproj = jax.lax.stop_gradient(
+                    losses.min_reprojection(ens_warped, color0))
+
+            multi_out = losses.multi_losses(
+                outputs["disp"], color0, multi_warped, multi_depth,
+                mono_depth_sg, cmask, outputs["augmentation_mask"],
+                jax.lax.stop_gradient(mono_out.min_reproj),
+                ensemble_min_reproj=ens_reproj,
+                dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
+                smoothness_weight=cfg.disparity_smoothness,
+            )
+
+            # --- total loss (`trainer.py:624-642`) ---
+            ori_loss = multi_out.loss
+            if train_teacher:
+                ori_loss = ori_loss + mono_out.loss
+
+            if cfg.distil and cfg.loss_blc:
+                lam = jnp.maximum(
+                    cfg.lambda_for_adjust_start
+                    + epoch * cfg.lambda_for_adjust_slope,
+                    cfg.lambda_for_adjust_min)
+                total, new_balancer = losses.loss_balance(
+                    state.balancer,
+                    jnp.stack([ori_loss, multi_out.distil_loss]), lam)
+            elif cfg.distil:
+                total = ori_loss + multi_out.distil_loss
+                new_balancer = state.balancer
+            else:
+                total = ori_loss
+                new_balancer = state.balancer
+
+            aux = {
+                "batch_stats": mutated["batch_stats"],
+                "balancer": new_balancer,
+                "mono_depth": mono_depth_sg,
+                "metrics": {
+                    "loss": total,
+                    "ori_loss": ori_loss,
+                    "mono_reproj": mono_out.reproj_loss,
+                    "multi_reproj": multi_out.reproj_loss,
+                    "consistency_loss": multi_out.consistency_loss,
+                    "distil_loss": multi_out.distil_loss,
+                    "w_ori": new_balancer.w[0],
+                    "w_distil": new_balancer.w[1],
+                },
+            }
+            return total, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # adaptive depth bins from the teacher (`trainer.py:631-634`)
+        if cfg.adaptive_bins and train_teacher:
+            new_bins = state.bins.update(aux["mono_depth"], cfg.min_depth,
+                                         cfg.depth_bin_ema)
+        else:
+            new_bins = state.bins
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=aux["batch_stats"],
+            opt_state=new_opt_state,
+            bins=new_bins,
+            balancer=aux["balancer"],
+        )
+        metrics = dict(aux["metrics"])
+        metrics["min_depth_bin"] = new_bins.min_depth
+        metrics["max_depth_bin"] = new_bins.max_depth
+        return new_state, metrics
+
+    return train_step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "model", "tx"))
+def train_step(cfg, model, tx, state, batch, rng, epoch):  # pragma: no cover
+    return make_train_step(cfg, model, tx)(state, batch, rng, epoch)

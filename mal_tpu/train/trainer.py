@@ -1,0 +1,133 @@
+"""Host-side training orchestration.
+
+The thin loop around the jit step, replacing
+`manydepth/trainer.py:119-1730`: dataset/loader construction, the device
+mesh, metric logging, the step-250 early validation and periodic full
+validation (`trainer.py:498-537`), and checkpointing. All numerical work
+lives in `mal_tpu.train.step`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mal_tpu.config import Config
+from mal_tpu.data.mono_dataset import DataLoader
+from mal_tpu.eval.evaluate import evaluate_depth_maps, infer_disparities
+from mal_tpu.models import MALModel
+from mal_tpu.parallel import data_parallel_step, make_mesh, replicate, shard_batch
+from mal_tpu.train.state import TrainState, create_train_state, make_optimizer
+from mal_tpu.train.step import make_train_step
+from mal_tpu.utils.checkpoint import save_checkpoint
+from mal_tpu.utils.misc import sec_to_hm_str
+
+
+class MetricLogger:
+    """Console / callback logger (wandb-compatible dict stream)."""
+
+    def __init__(self, sink: Callable[[dict, int], None] | None = None):
+        self.sink = sink
+        self.history: list[tuple[int, dict]] = []
+
+    def log(self, metrics: dict, step: int):
+        scalars = {k: float(v) for k, v in metrics.items()}
+        self.history.append((step, scalars))
+        if self.sink is not None:
+            self.sink(scalars, step)
+        else:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items()))
+            print(f"[step {step}] {parts}", flush=True)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_loader: DataLoader | Iterable,
+                 val_batches: list | None = None,
+                 gt_depths: list | None = None,
+                 logger: MetricLogger | None = None,
+                 num_devices: int | None = None,
+                 seed: int = 0):
+        assert cfg.height % 32 == 0 and cfg.width % 32 == 0
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_batches = val_batches
+        self.gt_depths = gt_depths
+        self.logger = logger or MetricLogger()
+
+        self.model = MALModel(cfg)
+        self.tx = make_optimizer(cfg)
+
+        rng = jax.random.PRNGKey(seed)
+        self.rng = rng
+        sample = next(iter(train_loader))
+        sample = jax.tree.map(jnp.asarray, sample)
+        self.state = create_train_state(cfg, self.model, rng, sample)
+
+        self.mesh = make_mesh(num_devices)
+        self.step_fn = data_parallel_step(
+            make_train_step(cfg, self.model, self.tx), self.mesh)
+        self.state = replicate(self.state, self.mesh)
+        self.step = 0
+        self.start_time = time.time()
+
+    # ------------------------------------------------------------------
+    def train(self):
+        for epoch in range(self.cfg.num_epochs):
+            self.run_epoch(epoch)
+        return self.state
+
+    def run_epoch(self, epoch: int):
+        cfg = self.cfg
+        # loss-balancer cumulative window resets per epoch
+        # (`loss_utils.py:294,321`)
+        self.state = self.state.replace(
+            balancer=self.state.balancer.reset_epoch())
+        epoch_arr = replicate(jnp.asarray(epoch, jnp.float32), self.mesh)
+
+        it = self.train_loader.epoch(epoch) if hasattr(self.train_loader, "epoch") \
+            else iter(self.train_loader)
+        for batch in it:
+            self.rng, step_rng = jax.random.split(self.rng)
+            batch = shard_batch(jax.tree.map(jnp.asarray, batch), self.mesh)
+            self.state, metrics = self.step_fn(
+                self.state, batch, replicate(step_rng, self.mesh), epoch_arr)
+
+            if self.step % cfg.log_every == 0:
+                m = jax.device_get(metrics)
+                m["lr_step"] = self.step
+                m["elapsed"] = time.time() - self.start_time
+                self.logger.log(m, self.step)
+
+            early = self.step == 250
+            periodic = (self.step != 0 and self.step % cfg.validate_every == 0)
+            if (early or periodic) and self.val_batches is not None:
+                results = self.validate()
+                self.logger.log({f"val/{k}": v for k, v in results.items()},
+                                self.step)
+                if periodic and cfg.ckpt_dir:
+                    save_checkpoint(os.path.join(
+                        cfg.ckpt_dir, f"{cfg.model_name}_s{self.step}"),
+                        self.state, cfg)
+            self.step += 1
+
+        print(f"epoch {epoch} done at step {self.step} "
+              f"({sec_to_hm_str(time.time() - self.start_time)})", flush=True)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> dict:
+        """Full eval-split validation (`manydepth/trainer.py:836-1064`)."""
+        state = jax.device_get(self.state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        disps = infer_disparities(
+            self.model, variables, self.val_batches, self.cfg,
+            min_depth_bin=state.bins.min_depth,
+            max_depth_bin=state.bins.max_depth)
+        if self.gt_depths is None:
+            return {"n_images": float(len(disps))}
+        return evaluate_depth_maps(disps, self.gt_depths,
+                                   eval_split=self.cfg.eval_split)

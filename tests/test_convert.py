@@ -1,0 +1,204 @@
+"""Weight-converter parity: torch modules (standard torchvision/monodepth2
+architectures, built here) -> converted flax params -> identical outputs.
+
+This is the strongest available stand-in for real-checkpoint parity until the
+released `many_k` weights are on disk: it proves conv/BN/pool/pad/activation
+semantics and the key mapping are exact.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from mal_tpu.convert.torch_weights import (
+    convert_depth_decoder,
+    convert_pose_decoder,
+    convert_resnet_trunk,
+)
+from mal_tpu.models.depth_decoder import DepthDecoder
+from mal_tpu.models.pose_decoder import PoseDecoder
+from mal_tpu.models.resnet import ResNetFeatures
+
+
+# --- standard torchvision-style resnet18 (public architecture) -------------
+class TorchBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + idt)
+
+
+class TorchResNet18(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = nn.Sequential(TorchBasicBlock(64, 64), TorchBasicBlock(64, 64))
+        self.layer2 = nn.Sequential(TorchBasicBlock(64, 128, 2), TorchBasicBlock(128, 128))
+        self.layer3 = nn.Sequential(TorchBasicBlock(128, 256, 2), TorchBasicBlock(256, 256))
+        self.layer4 = nn.Sequential(TorchBasicBlock(256, 512, 2), TorchBasicBlock(512, 512))
+
+    def forward(self, x):
+        f0 = F.relu(self.bn1(self.conv1(x)))
+        f1 = self.layer1(self.maxpool(f0))
+        f2 = self.layer2(f1)
+        f3 = self.layer3(f2)
+        f4 = self.layer4(f3)
+        return [f0, f1, f2, f3, f4]
+
+
+def _randomize_bn_stats(model: nn.Module, rng: np.random.RandomState):
+    """Make running stats non-trivial so eval-mode BN is actually tested."""
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.from_numpy(
+                rng.normal(0, 0.5, m.running_mean.shape).astype(np.float32)))
+            m.running_var.copy_(torch.from_numpy(
+                rng.uniform(0.5, 2.0, m.running_var.shape).astype(np.float32)))
+            m.weight.data.copy_(torch.from_numpy(
+                rng.uniform(0.5, 1.5, m.weight.shape).astype(np.float32)))
+            m.bias.data.copy_(torch.from_numpy(
+                rng.normal(0, 0.2, m.bias.shape).astype(np.float32)))
+
+
+def test_resnet18_forward_parity():
+    torch.manual_seed(0)
+    tmodel = TorchResNet18().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, np.random.RandomState(0))
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = convert_resnet_trunk(sd, 18)
+
+    x = np.random.RandomState(1).uniform(-1, 1, (2, 64, 96, 3)).astype(np.float32)
+    jmodel = ResNetFeatures(num_layers=18)
+    feats = jmodel.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        tfeats = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for ours, ref in zip(feats, tfeats):
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+
+# --- monodepth2-style decoder (public architecture) -------------------------
+class TorchConvBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Sequential()
+        self.conv.conv = nn.Conv2d(cin, cout, 3)
+        self.pad = nn.ReflectionPad2d(1)
+
+    def forward(self, x):
+        return F.elu(self.conv.conv(self.pad(x)))
+
+
+class TorchDispConv(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, 1, 3)
+        self.pad = nn.ReflectionPad2d(1)
+
+    def forward(self, x):
+        return self.conv(self.pad(x))
+
+
+class TorchDepthDecoder(nn.Module):
+    def __init__(self, num_ch_enc=(64, 64, 128, 256, 512)):
+        super().__init__()
+        num_ch_dec = [16, 32, 64, 128, 256]
+        mods = []
+        for i in range(4, -1, -1):
+            cin = num_ch_enc[-1] if i == 4 else num_ch_dec[i + 1]
+            mods.append(TorchConvBlock(cin, num_ch_dec[i]))
+            cin = num_ch_dec[i] + (num_ch_enc[i - 1] if i > 0 else 0)
+            mods.append(TorchConvBlock(cin, num_ch_dec[i]))
+        mods.append(TorchDispConv(num_ch_dec[0]))
+        self.decoder = nn.ModuleList(mods)
+
+    def forward(self, feats):
+        x = feats[-1]
+        k = 0
+        for i in range(4, -1, -1):
+            x = self.decoder[k](x); k += 1
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if i > 0:
+                x = torch.cat([x, feats[i - 1]], 1)
+            x = self.decoder[k](x); k += 1
+        return torch.sigmoid(self.decoder[10](x))
+
+
+def test_depth_decoder_forward_parity():
+    torch.manual_seed(1)
+    tdec = TorchDepthDecoder().eval()
+    sd = {k: v.numpy() for k, v in tdec.state_dict().items()}
+    params = convert_depth_decoder(sd)
+
+    rng = np.random.RandomState(2)
+    shapes = [(2, 32, 48, 64), (2, 16, 24, 64), (2, 8, 12, 128),
+              (2, 4, 6, 256), (2, 2, 3, 512)]
+    feats = [rng.normal(0, 1, s).astype(np.float32) for s in shapes]
+
+    jdec = DepthDecoder()
+    disp = jdec.apply({"params": params}, [jnp.asarray(f) for f in feats])
+
+    with torch.no_grad():
+        tdisp = tdec([torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats])
+    np.testing.assert_allclose(np.asarray(disp),
+                               tdisp.permute(0, 2, 3, 1).numpy(), atol=2e-5)
+
+
+class TorchPoseDecoder(nn.Module):
+    def __init__(self, nf=2):
+        super().__init__()
+        self.nf = nf
+        self.net = nn.ModuleList([
+            nn.Conv2d(512, 256, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 6 * nf, 1)])
+
+    def forward(self, f):
+        out = F.relu(self.net[0](f))
+        out = F.relu(self.net[1](out))
+        out = F.relu(self.net[2](out))
+        out = self.net[3](out)
+        out = out.mean(3).mean(2)
+        out = 0.01 * out.view(-1, self.nf, 1, 6)
+        return out[..., :3], out[..., 3:]
+
+
+def test_pose_decoder_forward_parity():
+    torch.manual_seed(2)
+    tdec = TorchPoseDecoder().eval()
+    sd = {k: v.numpy() for k, v in tdec.state_dict().items()}
+    params = convert_pose_decoder(sd)
+
+    feat = np.random.RandomState(3).normal(0, 1, (3, 2, 3, 512)).astype(np.float32)
+    jdec = PoseDecoder(num_frames_to_predict_for=2)
+    aa, t = jdec.apply({"params": params}, jnp.asarray(feat))
+    with torch.no_grad():
+        taa, tt = tdec(torch.from_numpy(feat).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(aa), taa.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), tt.numpy(), atol=1e-6)

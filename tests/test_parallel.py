@@ -1,0 +1,74 @@
+"""Multi-device data-parallel tests on the virtual 8-device CPU mesh —
+coverage the reference lacks entirely (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mal_tpu.config import Config
+from mal_tpu.data.synthetic import synthetic_batch
+from mal_tpu.models import MALModel
+from mal_tpu.parallel import data_parallel_step, make_mesh, replicate, shard_batch
+from mal_tpu.train.state import create_train_state, make_optimizer
+from mal_tpu.train.step import make_train_step
+
+CFG = Config(height=64, width=96, num_depth_bins=16, batch_size=8,
+             no_matching_augmentation=True)  # deterministic across layouts
+
+
+def _setup(cfg):
+    model = MALModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=cfg.batch_size)
+    state = create_train_state(cfg, model, rng, batch)
+    tx = make_optimizer(cfg)
+    return model, batch, state, tx
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_runs_on_8_devices():
+    cfg = CFG
+    model, batch, state, tx = _setup(cfg)
+    mesh = make_mesh(8)
+    step = data_parallel_step(make_train_step(cfg, model, tx), mesh)
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    rng = replicate(jax.random.PRNGKey(1), mesh)
+    epoch = replicate(jnp.zeros(()), mesh)
+
+    new_state, metrics = step(state_r, batch_s, rng, epoch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_dp_matches_single_device():
+    """The 8-way sharded step must produce the same numbers as 1 device."""
+    cfg = CFG
+    model, batch, state, tx = _setup(cfg)
+    step_fn = make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+    epoch = jnp.zeros(())
+
+    # single device
+    state_1, metrics_1 = jax.jit(step_fn)(state, batch, rng, epoch)
+
+    # 8-way DP
+    mesh = make_mesh(8)
+    step8 = data_parallel_step(step_fn, mesh)
+    state_8, metrics_8 = step8(replicate(state, mesh), shard_batch(batch, mesh),
+                               replicate(rng, mesh), replicate(epoch, mesh))
+
+    np.testing.assert_allclose(float(metrics_1["loss"]), float(metrics_8["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(state_1.bins.max_depth),
+                               float(state_8.bins.max_depth), rtol=1e-5)
+    # spot-check a parameter leaf
+    p1 = jax.tree.leaves(state_1.params)[0]
+    p8 = jax.tree.leaves(state_8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=5e-5)

@@ -53,12 +53,32 @@ def _photometric_warps(cfg: Config, batch, outputs, depth, detach_T: bool):
     return warped
 
 
-def make_train_step(cfg: Config, model, tx: optax.GradientTransformation
-                    ) -> Callable:
-    """Build the jit-able train step for a given config/model/optimizer."""
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
+                    seg_fn: Callable | None = None) -> Callable:
+    """Build the jit-able train step for a given config/model/optimizer.
+
+    `seg_fn(images (B,H,W,3)) -> Instances` is the frozen instance-
+    segmentation front-end for the MAL temporal hint (the reference runs
+    Mask2Former inside the train loop, `manydepth/trainer.py:350-357`;
+    `dyn_utils.py:172-188`). Required when cfg.temporal/main_temporal.
+    """
 
     train_teacher = not cfg.freeze_teacher_and_pose
     train_pose = train_teacher and not cfg.freeze_pose
+    if (cfg.temporal or cfg.main_temporal) and seg_fn is None:
+        raise ValueError("cfg.temporal requires a segmentation seg_fn")
+
+    def temporal_syn(batch, warped):
+        """Temporal-hint synthesized frames (`dyn_utils.py:121-170`)."""
+        from mal_tpu.temporal import image_synthesis
+
+        inst_cur = seg_fn(batch["color"]["0"])
+        inst_last = seg_fn(warped[0])
+        inst_next = seg_fn(warped[1])
+        syn_l, syn_n, _ = image_synthesis(
+            warped[0], warped[1], inst_cur, inst_last, inst_next,
+            cfg.ins_threshold)
+        return [syn_l, syn_n]
 
     def train_step(state: TrainState, batch: dict, rng: Array,
                    epoch: Array):
@@ -80,9 +100,11 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation
                 outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
             mono_warped = _photometric_warps(cfg, batch, outputs, mono_depth,
                                              detach_T=False)
+            mono_syn = temporal_syn(batch, mono_warped) if cfg.temporal else ()
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0, mono_warped,
-                identity, smoothness_weight=cfg.disparity_smoothness)
+                identity, syn=mono_syn,
+                smoothness_weight=cfg.disparity_smoothness)
 
             # --- student ---
             _, multi_depth = geometry.disp_to_depth(
@@ -105,10 +127,13 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation
                 ens_reproj = jax.lax.stop_gradient(
                     losses.min_reprojection(ens_warped, color0))
 
+            multi_syn = (temporal_syn(batch, multi_warped)
+                         if cfg.main_temporal else ())
             multi_out = losses.multi_losses(
                 outputs["disp"], color0, multi_warped, multi_depth,
                 mono_depth_sg, cmask, outputs["augmentation_mask"],
                 jax.lax.stop_gradient(mono_out.min_reproj),
+                syn=multi_syn,
                 ensemble_min_reproj=ens_reproj,
                 dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
                 smoothness_weight=cfg.disparity_smoothness,
@@ -178,6 +203,6 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation
     return train_step
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "model", "tx"))
-def train_step(cfg, model, tx, state, batch, rng, epoch):  # pragma: no cover
+def train_step(cfg, model, tx, state, batch, rng, epoch):
+    """Convenience non-cached entry; prefer jit(make_train_step(...))."""
     return make_train_step(cfg, model, tx)(state, batch, rng, epoch)

@@ -103,13 +103,15 @@ class Config:
     no_teacher_warp: bool = False
 
     # --- dualrefine options (DEQ refinement) ---
-    deq_iters: int = 12
-    deq_eval_factor: float = 1.5
-    corr_radius: int = 4
-    corr_levels: int = 4
-    num_pose_iter: int = 2
-    gap_factor: float = 1.0
-    phantom_grad_steps: int = 1
+    # defaults mirror `dualrefine/options.py:142-230`
+    deq_iters: int = 6            # --f_thres
+    deq_eval_factor: float = 1.0  # --eval_factor
+    corr_radius: int = 8
+    corr_levels: int = 3          # --num_levels
+    num_pose_iter: int = 1
+    gap_factor_depth_ratio: int = 8
+    phantom_grad_steps: int = 1   # --phantom_grad
+    deq_tau: float = 1.0
 
     # --- logging / checkpointing ---
     log_every: int = 50

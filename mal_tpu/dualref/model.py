@@ -1,0 +1,271 @@
+"""DualRefine: equilibrium joint depth+pose refinement (flax.linen).
+
+Re-design of `dualrefine/networks/depth_pose.py` (`DepthPose` /
+`DEQDepthPose`): HRNet trunk + attention decoder produce the initial 1/4-res
+disparity, context/hidden states and matching features; the DEQ function
+samples epipolar costs around the current depth, runs the ConvGRU update, and
+applies Gauss-Newton pose refinements; a fixed-iteration solver replaces the
+reference's (missing) anderson/broyden library, with phantom-gradient
+backward. The final pose is the trajectory pose with the smallest update norm
+(`depth_pose.py:539-544`), and inference can blend refined/initial disparity
+via the epipolar consistency mask (`combine_via_mask`, `:611-666`).
+
+Deviation (documented): the reference mutates `self.poses` as a side effect
+inside the solver-mixed `deq_func`; here pose is part of the fixed-point
+state and the solver is plain damped iteration (`f_thres` steps), which is
+exactly the reference's semantics for the identity-mixing case.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mal_tpu import geometry
+from mal_tpu.config import Config
+from mal_tpu.dualref.corr import build_pyramid, epipolar_cost, epipolar_cost_simple
+from mal_tpu.dualref.hr_decoder import HRDepthDecoder
+from mal_tpu.dualref.hrnet import HRNet
+from mal_tpu.dualref.pose_update import direct_align
+from mal_tpu.dualref.reprojections import Reprojections
+from mal_tpu.dualref.update import SmallUpdateBlock, convex_upsample_disp
+from mal_tpu.models.resnet import ResNetFeatures, imagenet_normalize
+from mal_tpu.models.pose_decoder import PoseDecoder
+from mal_tpu.ops.interp import resize_nearest
+
+Array = jax.Array
+
+
+class _ResidualBlockIN(nn.Module):
+    """RAFT ResidualBlock with instance norm (`extractor.py`)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm2")(y)
+        y = nn.relu(y)
+        if x.shape[-1] != self.filters:
+            x = nn.Conv(self.filters, (1, 1), name="proj")(x)
+        return nn.relu(x + y)
+
+
+class _FeatHead(nn.Module):
+    """ResidualBlock + 3x3 conv head (conv2/context/hidden, `depth_pose.py:141-151`)."""
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = _ResidualBlockIN(x.shape[-1], name="res")(x)
+        return nn.Conv(self.out_dim, (3, 3), padding=((1, 1), (1, 1)),
+                       name="out")(y)
+
+
+class _PoseWeights(nn.Module):
+    """PoseUpdate's uncertainty head (`utils.py:272-278`)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        y = _ResidualBlockIN(c, name="blk1")(x)
+        y = _ResidualBlockIN(c, name="blk2")(y)
+        return nn.relu(nn.Conv(1, (1, 1), use_bias=False, name="out")(y))
+
+
+class DEQState(NamedTuple):
+    net: Array      # (B, h, w, hidden)
+    depth: Array    # (B, h, w, 1)
+    pose: Array     # (B, 4, 4)
+    upd_norm: Array  # (B,) last pose-update norm
+
+
+class DEQDepthPose(nn.Module):
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.hidden_dim = 96
+        self.context_dim = 64
+        self.trunk = HRNet(base_width=18 if cfg.num_layers == 18 else cfg.num_layers,
+                           name="cnet")
+        self.decoder = HRDepthDecoder(name="decoder")
+        self.conv2 = _FeatHead(64, name="conv2")
+        self.context = _FeatHead(self.context_dim, name="context")
+        self.hidden = _FeatHead(self.hidden_dim, name="hidden")
+        self.update_block = SmallUpdateBlock(
+            input_dim=self.context_dim, hidden_dim=self.hidden_dim,
+            name="update_block")
+        self.reproject = Reprojections(
+            corr_radius=cfg.corr_radius, num_levels=cfg.corr_levels,
+            gap_factor="depth", min_depth=cfg.min_depth,
+            max_depth=cfg.max_depth, name="reproject_2")
+        # 3 pose nets (one per camera side, `depth_pose.py:153-172`)
+        self.pose_trunks = [ResNetFeatures(18, num_input_images=2,
+                                           name=f"pose_trunk_{i}")
+                            for i in range(3)]
+        self.pose_heads = [PoseDecoder(num_frames_to_predict_for=1,
+                                       name=f"pose_head_{i}") for i in range(3)]
+        self.pose_weights = _PoseWeights(name="pose_weights")
+
+    # ------------------------------------------------------------------
+    def _initial_pose(self, image1: Array, image2: Array, invert: bool,
+                      side: int, train: bool) -> Array:
+        pair = [image2, image1] if invert else [image1, image2]
+        feats = self.pose_trunks[side](
+            jnp.concatenate(pair, axis=-1), train=train)
+        aa, t = self.pose_heads[side](feats[-1])
+        return geometry.transformation_from_parameters(
+            aa[:, 0, 0], t[:, 0, 0], invert=invert)
+
+    def _depth_to_disp(self, depth: Array) -> Array:
+        return geometry.depth_to_disp(depth, self.cfg.min_depth, self.cfg.max_depth)
+
+    # ------------------------------------------------------------------
+    def __call__(self, image1: Array, image2: Array, K_full: Array,
+                 invert: bool = False, side: int = 0, train: bool = False,
+                 num_iters: int | None = None,
+                 combine_via_mask: bool | None = None):
+        """Returns (outputs dict, poses [T0, T*]).
+
+        outputs: {"disp_0_0", "disp_2_0"} initial + {"disp_0_k", "disp_2_k"}
+        per supervised trajectory state (k>=1; eval has k=1 only).
+        """
+        cfg = self.cfg
+        B, H, W, _ = image1.shape
+        if num_iters is None:
+            num_iters = cfg.deq_iters if train else int(
+                cfg.deq_iters * cfg.deq_eval_factor)
+        if combine_via_mask is None:
+            combine_via_mask = not train
+
+        im1 = imagenet_normalize(image1)
+        im2 = imagenet_normalize(image2)
+
+        # trunk: full stages on image1, stem only on image2
+        taps1 = self.trunk(im1, train=train)
+        taps2 = self.trunk(im2, train=train, stem_only=True)
+
+        disps, inter = self.decoder(taps1)
+        x2b = inter["relu_x18"]
+
+        fmap1 = self.conv2(taps1["stem2"])
+        fmap2 = self.conv2(taps2["stem2"])
+        inp = nn.relu(self.context(x2b))
+        net0 = nn.tanh(self.hidden(x2b))
+
+        f2_pyramid = build_pyramid(fmap2, cfg.corr_levels)
+
+        K2 = geometry.scale_intrinsics(K_full, 2)
+
+        # uncertainty weights for the GN pose update (`utils.py:291-298`)
+        src_w = 1.0 / (1.0 + self.pose_weights(taps1["stem2"]))
+        tgt_w = 1.0 / (1.0 + self.pose_weights(taps2["stem2"]))
+
+        pose0 = self._initial_pose(im1, im2, invert, side, train)
+
+        disp_2_0 = disps[2]
+        depth0 = geometry.disp_to_depth(disp_2_0, cfg.min_depth, cfg.max_depth)[1]
+
+        outputs = {
+            "disp_2_0": disp_2_0,
+            "disp_0_0": convex_upsample_disp(
+                disp_2_0, self.update_block.upsample_mask(net0)),
+            "disp_1_0": disps[1], "disp_3_0": disps[3],
+        }
+
+        def deq_func(state: DEQState) -> DEQState:
+            c, max_dx, _ = self.reproject.depth2epipolarcoords(
+                state.pose, state.depth, K2)
+            corr = epipolar_cost(fmap1, f2_pyramid, c, cfg.corr_levels)
+            net, delta = self.update_block(state.net, inp, corr, state.depth)
+            new_depth = jnp.clip(state.depth + jnp.tanh(delta) * max_dx,
+                                 cfg.min_depth, cfg.max_depth)
+            weight = self.update_block.pose_weight(net)
+
+            pose, upd = state.pose, jnp.zeros((B, 6))
+            for _ in range(cfg.num_pose_iter):
+                c_p, P2 = self.reproject.depth2gradcoords(pose, new_depth, K2)
+                pose, upd = direct_align(pose, K2, c_p, P2, fmap1, fmap2,
+                                         src_w, tgt_w, weight)
+            return DEQState(net, new_depth, pose,
+                            jnp.linalg.norm(upd, axis=-1))
+
+        # fixed-iteration solve, trajectory recorded. Unrolled in Python:
+        # num_iters is small and static (f_thres=6 default), and unrolling
+        # lets XLA pipeline the whole refinement into one fused program.
+        state = DEQState(net0, depth0, pose0, jnp.full((B,), jnp.inf))
+        poses_t, upds_t = [], []
+        solve_state = jax.tree.map(lax.stop_gradient, state) if train else state
+        for _ in range(num_iters):
+            solve_state = deq_func(solve_state)
+            if train:
+                solve_state = jax.tree.map(lax.stop_gradient, solve_state)
+            poses_t.append(solve_state.pose)
+            upds_t.append(solve_state.upd_norm)
+        state_star = solve_state
+
+        # pose with the minimum update norm over the trajectory
+        poses_t = jnp.stack(poses_t)  # (T, B, 4, 4)
+        upds_t = jnp.stack(upds_t)    # (T, B)
+        best = jnp.argmin(upds_t, axis=0)  # (B,)
+        pose_star = jnp.take_along_axis(
+            poses_t, best[None, :, None, None], axis=0)[0]
+
+        if train:
+            # phantom gradient on the final state (tau-damped single unroll)
+            z = DEQState(lax.stop_gradient(state_star.net),
+                         lax.stop_gradient(state_star.depth),
+                         lax.stop_gradient(state_star.pose),
+                         state_star.upd_norm)
+            for _ in range(cfg.phantom_grad_steps):
+                z = deq_func(z)
+            final_states = [z]
+        else:
+            final_states = [state_star]
+
+        for k, st in enumerate(final_states, start=1):
+            disp2 = self._depth_to_disp(st.depth)
+            outputs[f"disp_2_{k}"] = disp2
+            outputs[f"disp_0_{k}"] = convex_upsample_disp(
+                disp2, self.update_block.upsample_mask(st.net))
+
+        if combine_via_mask:
+            mask = self._consistency_mask(
+                state_star, pose_star, fmap1, f2_pyramid, K2)
+            outputs["consistency_mask"] = mask
+            m = mask.astype(outputs["disp_2_1"].dtype)
+            outputs["disp_2_1"] = (outputs["disp_2_1"] * m
+                                   + outputs["disp_2_0"] * (1 - m))
+            m0 = resize_nearest(m, H, W)
+            outputs["disp_0_1"] = (outputs["disp_0_1"] * m0
+                                   + outputs["disp_0_0"] * (1 - m0))
+
+        return outputs, [pose0, pose_star]
+
+    # ------------------------------------------------------------------
+    def _consistency_mask(self, state: DEQState, pose_star: Array,
+                          fmap1: Array, f2_pyramid, K2: Array) -> Array:
+        """Epipolar argmin-cost depth vs refined depth within 2x
+        (`depth_pose.py:553-593`)."""
+        cfg = self.cfg
+        depth = state.depth
+        c0, ds0 = self.reproject.depthbins2coords(pose_star, depth, K2)
+        c0 = lax.stop_gradient(c0)
+        ds0 = lax.stop_gradient(ds0)
+
+        corr0 = epipolar_cost_simple(fmap1, f2_pyramid, c0, num_levels=1)
+        # (B, h, w, D) -> argmin over D, gather the matching depth
+        idx = jnp.argmin(corr0, axis=-1)  # (B, h, w)
+        ds_hw = jnp.moveaxis(ds0[:, 0], 1, -1)  # (B, h, w, D)
+        max_d = jnp.take_along_axis(ds_hw, idx[..., None], axis=-1)
+
+        mask = ((max_d - depth) / depth) < 1.0
+        mask &= ((depth - max_d) / max_d) < 1.0
+        return lax.stop_gradient(mask)

@@ -1,0 +1,178 @@
+"""Fixed-point solvers + phantom gradients for the DEQ refinement.
+
+The reference imports these from the missing `dualrefine/networks/lib/`
+(`depth_pose.py:17-18` — the locuslab/deq library; SURVEY.md §1 known
+defects), so this is a from-scratch implementation of the same machinery,
+TPU-shaped: `lax.scan`/`fori_loop` with *fixed* iteration counts (no
+data-dependent early exit under jit), convergence traces returned for
+monitoring, and truncated "phantom" backward passes via unrolled damped
+iterations from the detached fixed point.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class SolverResult(NamedTuple):
+    result: Array        # final iterate (B, D)
+    trajectory: Array    # (T, B, D) iterates selected by `indexing` (or all)
+    rel_trace: Array     # (steps,) mean relative residual per step
+    abs_trace: Array     # (steps,) mean absolute residual per step
+
+
+def _residuals(z_new: Array, z_old: Array):
+    diff = jnp.linalg.norm(z_new - z_old, axis=-1)
+    denom = jnp.linalg.norm(z_new, axis=-1) + 1e-8
+    return jnp.mean(diff), jnp.mean(diff / denom)
+
+
+def fixed_point_iter(f: Callable, z0: Array, steps: int,
+                     indexing: Sequence[int] | None = None) -> SolverResult:
+    """Plain (Picard) iteration — useful as a baseline and for testing."""
+    def body(z, _):
+        z_new = f(z)
+        a, r = _residuals(z_new, z)
+        return z_new, (z_new, a, r)
+
+    z_star, (traj, abs_t, rel_t) = lax.scan(body, z0, None, length=steps)
+    traj = _select_trajectory(traj, indexing, steps)
+    return SolverResult(z_star, traj, rel_t, abs_t)
+
+
+def _select_trajectory(traj: Array, indexing, steps: int) -> Array:
+    if indexing is None:
+        return traj[-1:]
+    idx = jnp.asarray([min(i, steps) - 1 for i in indexing], jnp.int32)
+    return traj[idx]
+
+
+def anderson_solver(f: Callable, z0: Array, steps: int, m: int = 6,
+                    lam: float = 1e-4, beta: float = 1.0,
+                    indexing: Sequence[int] | None = None) -> SolverResult:
+    """Anderson acceleration with fixed iteration count.
+
+    z0: (B, D) flattened state. Solves the least-squares mixing problem per
+    step over the last `m` residuals (normal equations + Tikhonov `lam`),
+    matching the standard DEQ implementation the reference relies on.
+    """
+    B, D = z0.shape
+    X = jnp.zeros((m, B, D), z0.dtype)  # iterates
+    F = jnp.zeros((m, B, D), z0.dtype)  # f(iterates)
+
+    f0 = f(z0)
+    X = X.at[0].set(z0)
+    F = F.at[0].set(f0)
+    X = X.at[1].set(f0)
+    F = F.at[1].set(f(f0))
+
+    def body(carry, k):
+        X, F = carry
+        n = jnp.minimum(k, m)
+        G = F - X  # residuals (m, B, D)
+
+        # mask out slots beyond history length
+        slot_valid = (jnp.arange(m) < n)[:, None]  # (m, 1)
+        Gm = jnp.where(slot_valid[..., None], G, 0.0)
+        # per-batch Gram matrix (B, m, m)
+        H = jnp.einsum("ibd,jbd->bij", Gm, Gm)
+        H = H + lam * jnp.eye(m, dtype=z0.dtype)
+        # masked slots get identity rows so alpha=0 there
+        eye = jnp.eye(m, dtype=z0.dtype)
+        mask2d = slot_valid[:, 0]
+        H = jnp.where(mask2d[None, :, None] & mask2d[None, None, :], H,
+                      eye[None])
+        rhs = jnp.where(mask2d[None], jnp.ones((1, m), z0.dtype), 0.0)
+        rhs = jnp.broadcast_to(rhs, (B, m))
+        alpha = jnp.linalg.solve(H, rhs[..., None])[..., 0]  # (B, m)
+        alpha = alpha / (jnp.sum(alpha * mask2d[None], axis=1, keepdims=True) + 1e-12)
+        alpha = alpha * mask2d[None]
+
+        z_new = (beta * jnp.einsum("bi,ibd->bd", alpha, F)
+                 + (1 - beta) * jnp.einsum("bi,ibd->bd", alpha, X))
+        f_new = f(z_new)
+        a, r = _residuals(f_new, z_new)
+
+        slot = k % m
+        X = X.at[slot].set(z_new)
+        F = F.at[slot].set(f_new)
+        return (X, F), (f_new, a, r)
+
+    ks = jnp.arange(2, steps + 2)
+    (_, _), (traj, abs_t, rel_t) = lax.scan(body, (X, F), ks)
+    z_star = traj[-1]
+    traj = _select_trajectory(traj, indexing, steps)
+    return SolverResult(z_star, traj, rel_t, abs_t)
+
+
+def broyden_solver(f: Callable, z0: Array, steps: int,
+                   indexing: Sequence[int] | None = None) -> SolverResult:
+    """Limited-memory 'good Broyden' root solve of g(z) = f(z) - z.
+
+    Rank-one inverse-Jacobian updates stored as (u, v) pairs — the
+    low-memory scheme used by the DEQ library the reference depends on.
+    """
+    B, D = z0.shape
+    gz0 = f(z0) - z0
+
+    Us = jnp.zeros((steps, B, D), z0.dtype)
+    Vs = jnp.zeros((steps, B, D), z0.dtype)
+
+    def apply_B(Us, Vs, n, g):
+        """B g with B = -I + sum_k u_k v_k^T (inverse-Jacobian estimate)."""
+        contrib = jnp.einsum("kbd,bd->kb", Vs, g)
+        mask = (jnp.arange(Us.shape[0]) < n)[:, None]
+        contrib = jnp.where(mask, contrib, 0.0)
+        return -g + jnp.einsum("kb,kbd->bd", contrib, Us)
+
+    def apply_BT(Us, Vs, n, s):
+        """B^T s with B^T = -I + sum_k v_k u_k^T."""
+        contrib = jnp.einsum("kbd,bd->kb", Us, s)
+        mask = (jnp.arange(Us.shape[0]) < n)[:, None]
+        contrib = jnp.where(mask, contrib, 0.0)
+        return -s + jnp.einsum("kb,kbd->bd", contrib, Vs)
+
+    def body(carry, k):
+        z, gz, Us, Vs = carry
+        dz = -apply_B(Us, Vs, k, gz)
+        z_new = z + dz
+        gz_new = f(z_new) - z_new
+        y = gz_new - gz
+
+        By = apply_B(Us, Vs, k, y)
+        v_new = apply_BT(Us, Vs, k, dz)          # B^T s
+        denom = jnp.sum(v_new * y, axis=-1, keepdims=True)
+        safe = jnp.abs(denom) > 1e-8
+        u_new = jnp.where(safe, (dz - By) / jnp.where(safe, denom, 1.0), 0.0)
+        Us = Us.at[k].set(u_new)
+        Vs = Vs.at[k].set(jnp.where(safe, v_new, 0.0))
+
+        a, r = _residuals(z_new + gz_new, z_new)
+        return (z_new, gz_new, Us, Vs), (z_new, a, r)
+
+    ks = jnp.arange(steps)
+    (z_star, _, _, _), (traj, abs_t, rel_t) = lax.scan(
+        body, (z0, gz0, Us, Vs), ks)
+    traj = _select_trajectory(traj, indexing, steps)
+    return SolverResult(z_star, traj, rel_t, abs_t)
+
+
+def phantom_grad(f: Callable, z_star: Array, steps: int = 1,
+                 tau: float = 1.0) -> Array:
+    """Phantom-gradient correction (DEQ `lib/grad.backward_factory`).
+
+    Differentiable truncated refinement from the *detached* fixed point:
+    z <- (1 - tau) z + tau f(z), `steps` times, gradients flowing through the
+    unrolled applications only (O(1) memory w.r.t. forward solver depth).
+    """
+    z = lax.stop_gradient(z_star)
+    for _ in range(steps):
+        z = (1.0 - tau) * z + tau * f(z)
+    return z

@@ -1,0 +1,103 @@
+"""Mask2Former meta-architecture + instance inference (flax.linen).
+
+Reference: `mask2former/maskformer_model.py:21-380`. Used frozen, in eval
+mode, inside MAL training as the temporal hint's instance segmenter
+(`manydepth/trainer.py:350-357`). Instance inference
+(`maskformer_model.py:344-380`): softmax class scores, flattened top-k over
+(queries x classes), mask > 0 binarization, mask-probability-weighted scores
+— here with a *fixed* top-k = `max_instances` into the padded `Instances`
+layout instead of variable-length detectron2 structures.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mal_tpu.ops.interp import resize_bilinear
+from mal_tpu.segment.instances import Instances
+from mal_tpu.segment.pixel_decoder import MSDeformAttnPixelDecoder
+from mal_tpu.segment.swin import SwinTransformer
+from mal_tpu.segment.transformer_decoder import MaskedTransformerDecoder
+
+Array = jax.Array
+
+# detectron2 COCO normalization (cfg MODEL.PIXEL_MEAN / PIXEL_STD), applied
+# to [0,255] inputs
+_PIXEL_MEAN = jnp.asarray([123.675, 116.28, 103.53])
+_PIXEL_STD = jnp.asarray([58.395, 57.12, 57.375])
+
+
+class Mask2Former(nn.Module):
+    num_classes: int = 80
+    swin_size: str = "large"
+    num_queries: int = 100
+    max_instances: int = 8
+    score_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, images: Array) -> tuple[Array, Array]:
+        """images: (B, H, W, 3) in [0, 1] RGB.
+        Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4))."""
+        x = (images * 255.0 - _PIXEL_MEAN) / _PIXEL_STD
+        feats = SwinTransformer(self.swin_size, name="backbone")(x)
+        mask_features, multi_scale = MSDeformAttnPixelDecoder(
+            name="pixel_decoder")(feats)
+        logits, masks = MaskedTransformerDecoder(
+            num_classes=self.num_classes, num_queries=self.num_queries,
+            name="predictor")(multi_scale, mask_features)
+        return logits, masks
+
+
+def instance_inference(pred_logits: Array, pred_masks: Array,
+                       out_h: int, out_w: int, max_instances: int = 8,
+                       mask_threshold: float = 0.0) -> Instances:
+    """Top-k padded instances (`maskformer_model.py:344-380`).
+
+    pred_logits: (B, Q, K+1); pred_masks: (B, Q, h, w).
+    Scores are class-softmax (background dropped), flattened over (Q x K),
+    fixed top-`max_instances`; final score is multiplied by the mean in-mask
+    probability.
+    """
+    B, Q, K1 = pred_logits.shape
+    K = K1 - 1
+    scores = jax.nn.softmax(pred_logits, axis=-1)[..., :K]  # (B, Q, K)
+    flat = scores.reshape(B, Q * K)
+    top_scores, top_idx = jax.lax.top_k(flat, max_instances)
+    top_q = top_idx // K
+    top_class = top_idx % K
+
+    masks = jnp.take_along_axis(
+        pred_masks, top_q[:, :, None, None], axis=1)  # (B, N, h, w)
+    # upsample logits to the requested output size, then binarize
+    masks_up = resize_bilinear(jnp.moveaxis(masks, 1, -1), out_h, out_w)
+    masks_up = jnp.moveaxis(masks_up, -1, 1)
+    binary = (masks_up > mask_threshold).astype(jnp.float32)
+
+    prob = jax.nn.sigmoid(masks_up)
+    mask_score = (jnp.sum(prob * binary, axis=(2, 3))
+                  / (jnp.sum(binary, axis=(2, 3)) + 1e-6))
+    final_scores = top_scores * mask_score
+
+    return Instances(
+        masks=binary,
+        classes=top_class.astype(jnp.int32),
+        scores=final_scores,
+        valid=jnp.ones_like(final_scores, bool),
+    )
+
+
+def make_seg_fn(model: Mask2Former, variables, max_instances: int = 8,
+                mask_threshold: float = 0.0):
+    """Build the `seg_fn(images) -> Instances` used by the temporal hint."""
+
+    def seg_fn(images: Array) -> Instances:
+        H, W = images.shape[1:3]
+        logits, masks = model.apply(variables, images)
+        logits = jax.lax.stop_gradient(logits)
+        masks = jax.lax.stop_gradient(masks)
+        return instance_inference(logits, masks, H, W, max_instances,
+                                  mask_threshold)
+
+    return seg_fn

@@ -1,0 +1,87 @@
+"""Multi-scale deformable attention (pure JAX; the CUDA extension's TPU twin).
+
+The reference ships a 1.7k-LoC CUDA im2col kernel
+(`mask2former/modeling/pixel_decoder/ops/src/cuda/ms_deform_im2col_cuda.cuh`)
+plus a pure-torch fallback (`ops/functions/ms_deform_attn_func.py:52-72`).
+Here the op is a batched bilinear gather over the flattened level features —
+XLA lowers it to TPU gathers and fuses the weighting/summation; a Pallas
+version can slot in behind the same signature.
+
+Semantics match the reference: sampling locations are normalized to [0, 1]
+per level, sampled with *zeros* padding and align_corners=False, weighted by
+softmax attention weights over (levels x points).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mal_tpu.ops.interp import grid_sample
+
+Array = jax.Array
+
+
+def ms_deform_attn_core(value: Array, spatial_shapes: list[tuple[int, int]],
+                        sampling_locations: Array, attention_weights: Array
+                        ) -> Array:
+    """value: (B, sum(HW), heads, ch); sampling_locations:
+    (B, Lq, heads, L, P, 2) in [0,1]; attention_weights: (B, Lq, heads, L, P).
+    Returns (B, Lq, heads*ch).
+    """
+    B, _, H_, C = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+
+    splits = [h * w for h, w in spatial_shapes]
+    values = jnp.split(value, jnp.cumsum(jnp.asarray(splits))[:-1], axis=1)
+
+    out = 0.0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        # fold heads into the batch: each head samples its own value slice
+        v = values[lvl].reshape(B, h, w, H_, C)
+        v = jnp.moveaxis(v, 3, 1).reshape(B * H_, h, w, C)
+        # [0,1] -> [-1,1] (align_corners=False convention)
+        g = 2.0 * sampling_locations[:, :, :, lvl] - 1.0  # (B, Lq, heads, P, 2)
+        g = g.transpose(0, 2, 1, 3, 4).reshape(B * H_, Lq, P, 2)
+        sampled = grid_sample(v, g, padding_mode="zeros", align_corners=False)
+        sampled = sampled.reshape(B, H_, Lq, P, C)
+        w_l = attention_weights[:, :, :, lvl]  # (B, Lq, heads, P)
+        out = out + jnp.einsum("bhlpc,blhp->blhc", sampled, w_l)
+    return out.reshape(B, Lq, H_ * C)
+
+
+class MSDeformAttn(nn.Module):
+    """Deformable attention module (`ops/modules/ms_deform_attn.py`)."""
+    d_model: int = 256
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, query: Array, reference_points: Array, value_flat: Array,
+                 spatial_shapes: list[tuple[int, int]]) -> Array:
+        """query: (B, Lq, C); reference_points: (B, Lq, L, 2) in [0,1];
+        value_flat: (B, sum(HW), C)."""
+        B, Lq, C = query.shape
+        H_ = self.n_heads
+        L, P = self.n_levels, self.n_points
+
+        value = nn.Dense(C, name="value_proj")(value_flat)
+        value = value.reshape(B, -1, H_, C // H_)
+
+        offsets = nn.Dense(H_ * L * P * 2, name="sampling_offsets",
+                           kernel_init=nn.initializers.zeros)(query)
+        offsets = offsets.reshape(B, Lq, H_, L, P, 2)
+        attn = nn.Dense(H_ * L * P, name="attention_weights",
+                        kernel_init=nn.initializers.zeros)(query)
+        attn = jax.nn.softmax(attn.reshape(B, Lq, H_, L * P), axis=-1)
+        attn = attn.reshape(B, Lq, H_, L, P)
+
+        # normalize offsets by each level's spatial size
+        sizes = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+        locs = (reference_points[:, :, None, :, None, :]
+                + offsets / sizes[None, None, None, :, None, :])
+
+        out = ms_deform_attn_core(value, spatial_shapes, locs, attn)
+        return nn.Dense(C, name="output_proj")(out)

@@ -1,0 +1,180 @@
+"""Swin Transformer backbone (flax.linen, NHWC).
+
+From-scratch implementation of the Swin-T/S/B/L backbone used by the frozen
+Mask2Former front-end (`mask2former/modeling/backbone/swin.py:21-770`):
+patch embedding, windowed + shifted-window attention with relative position
+bias, patch merging, per-stage LayerNorm outputs for the FPN/pixel-decoder.
+
+TPU notes: window partitioning is pure reshape/transpose (no gathers); the
+attention is batched over (windows x heads) and maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+CONFIGS = {
+    # embed_dim, depths, num_heads, window
+    "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
+    "small": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
+    "base": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "large": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+}
+
+
+def window_partition(x: Array, ws: int) -> Array:
+    """(B, H, W, C) -> (B*nH*nW, ws, ws, C). H, W divisible by ws."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+
+def window_reverse(wins: Array, ws: int, H: int, W: int) -> Array:
+    B = wins.shape[0] // ((H // ws) * (W // ws))
+    x = wins.reshape(B, H // ws, W // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array | None = None) -> Array:
+        """x: (nW, N, C) windows; mask: (numWin, N, N) or None."""
+        nW, N, C = x.shape
+        h = self.num_heads
+        head_dim = C // h
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * C, name="qkv")(x).reshape(nW, N, 3, h, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (nW, N, h, d)
+        q = q * scale
+        attn = jnp.einsum("wnhd,wmhd->whnm", q, k)
+
+        rpb_table = self.param(
+            "relative_position_bias_table", nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h))
+        idx = jnp.asarray(relative_position_index(self.window_size))
+        bias = rpb_table[idx.reshape(-1)].reshape(N, N, h)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nm = mask.shape[0]
+            attn = attn.reshape(nW // nm, nm, h, N, N) + mask[None, :, None]
+            attn = attn.reshape(nW, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        out = jnp.einsum("whnm,wmhd->wnhd", attn, v).reshape(nW, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        """x: (B, H, W, C); pads internally to window multiples (like the
+        reference, `swin.py` W-MSA forward)."""
+        B, H, W, C = x.shape
+        ws = self.window_size
+        Hp = -(-H // ws) * ws
+        Wp = -(-W // ws) * ws
+        shift = self.shift if min(Hp, Wp) > ws else 0
+
+        shortcut = x
+        y = nn.LayerNorm(name="norm1")(x)
+        if (Hp, Wp) != (H, W):
+            y = jnp.pad(y, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            attn_mask = _shift_mask(Hp, Wp, ws, shift)
+        else:
+            attn_mask = None
+        wins = window_partition(y, ws).reshape(-1, ws * ws, C)
+        wins = WindowAttention(self.dim, self.num_heads, ws, name="attn")(
+            wins, attn_mask)
+        y = window_reverse(wins.reshape(-1, ws, ws, C), ws, Hp, Wp)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :H, :W]
+        x = shortcut + y
+
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, name="mlp_fc2")(y)
+        return x + y
+
+
+def _shift_mask(H: int, W: int, ws: int, shift: int) -> Array:
+    img_mask = np.zeros((1, H, W, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wslice in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wslice, :] = cnt
+            cnt += 1
+    wins = window_partition(jnp.asarray(img_mask), ws).reshape(-1, ws * ws)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(name="norm")(x)
+        return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    """Returns {"res2", "res3", "res4", "res5"} NHWC feature maps."""
+    size: str = "large"
+
+    @nn.compact
+    def __call__(self, x: Array) -> dict[str, Array]:
+        embed_dim, depths, heads, ws = CONFIGS[self.size]
+        B, H, W, _ = x.shape
+        assert H % 32 == 0 and W % 32 == 0
+
+        # patch embed: 4x4 conv
+        y = nn.Conv(embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
+        y = nn.LayerNorm(name="patch_norm")(y)
+
+        outs = {}
+        dim = embed_dim
+        for stage in range(4):
+            for blk in range(depths[stage]):
+                y = SwinBlock(dim, heads[stage], ws,
+                              shift=0 if blk % 2 == 0 else ws // 2,
+                              name=f"stage{stage}_block{blk}")(y)
+            out = nn.LayerNorm(name=f"out_norm{stage}")(y)
+            outs[f"res{stage + 2}"] = out
+            if stage < 3:
+                y = PatchMerging(dim, name=f"merge{stage}")(y)
+                dim *= 2
+        return outs

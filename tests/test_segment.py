@@ -1,0 +1,102 @@
+"""Mask2Former front-end tests (tiny Swin for CPU speed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mal_tpu.segment.instances import Instances
+from mal_tpu.segment.mask2former import Mask2Former, instance_inference
+from mal_tpu.segment.msdeform import ms_deform_attn_core
+from mal_tpu.segment.swin import (SwinTransformer, window_partition,
+                                  window_reverse)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 8, 12, 5)).astype(np.float32))
+    wins = window_partition(x, 4)
+    assert wins.shape == (2 * 2 * 3, 4, 4, 5)
+    back = window_reverse(wins, 4, 8, 12)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_swin_tiny_shapes():
+    model = SwinTransformer("tiny")
+    x = jnp.zeros((1, 64, 96, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(vars_, x)
+    assert outs["res2"].shape == (1, 16, 24, 96)
+    assert outs["res3"].shape == (1, 8, 12, 192)
+    assert outs["res4"].shape == (1, 4, 6, 384)
+    assert outs["res5"].shape == (1, 2, 3, 768)
+
+
+def test_ms_deform_attn_core_matches_torch_reference():
+    """Parity with the reference's pure-torch fallback
+    (`ops/functions/ms_deform_attn_func.py:52-72`) implemented as oracle."""
+    rng = np.random.RandomState(1)
+    B, heads, C = 2, 2, 4
+    shapes = [(6, 8), (3, 4)]
+    total = sum(h * w for h, w in shapes)
+    Lq, P = 5, 3
+    L = len(shapes)
+
+    value = rng.uniform(-1, 1, (B, total, heads, C)).astype(np.float32)
+    locs = rng.uniform(0.1, 0.9, (B, Lq, heads, L, P, 2)).astype(np.float32)
+    attn = rng.uniform(0, 1, (B, Lq, heads, L, P)).astype(np.float32)
+    attn = attn / attn.sum((-1, -2), keepdims=True)
+
+    ours = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn)))
+
+    # torch oracle
+    tv = torch.from_numpy(value)
+    sampling_grids = 2 * torch.from_numpy(locs) - 1
+    value_list = tv.split([h * w for h, w in shapes], dim=1)
+    out = 0
+    for lid, (h, w) in enumerate(shapes):
+        v_l = value_list[lid].flatten(2).transpose(1, 2).reshape(B * heads, C, h, w)
+        g_l = sampling_grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)  # (B*heads, Lq, P, 2)
+        sampled = F.grid_sample(v_l, g_l, mode="bilinear",
+                                padding_mode="zeros", align_corners=False)
+        out = out + (sampled.view(B, heads, C, Lq, P)
+                     * torch.from_numpy(attn)[:, :, :, lid].permute(0, 2, 1, 3)[:, :, None])
+    ref = out.sum(-1).permute(0, 3, 1, 2).reshape(B, Lq, heads * C).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_instance_inference_topk_and_scores():
+    B, Q, K, h, w = 1, 6, 3, 8, 8
+    rng = np.random.RandomState(2)
+    logits = np.full((B, Q, K + 1), -5.0, np.float32)
+    # query 2 -> class 1 strong; query 4 -> class 0 medium
+    logits[0, 2, 1] = 5.0
+    logits[0, 4, 0] = 3.0
+    masks = rng.uniform(-3, -1, (B, Q, h, w)).astype(np.float32)
+    masks[0, 2, :4] = 2.0   # top half
+    masks[0, 4, :, :4] = 1.5
+
+    inst = instance_inference(jnp.asarray(logits), jnp.asarray(masks),
+                              16, 16, max_instances=4)
+    assert inst.masks.shape == (1, 4, 16, 16)
+    cls = np.asarray(inst.classes[0])
+    sc = np.asarray(inst.scores[0])
+    assert cls[0] == 1 and cls[1] == 0  # ranked by score
+    assert sc[0] > sc[1] > sc[2]
+    # binarized upsampled mask covers the right region
+    m0 = np.asarray(inst.masks[0, 0])
+    assert m0[:8].mean() > 0.9 and m0[8:].mean() < 0.1
+
+
+@pytest.mark.slow
+def test_mask2former_tiny_end_to_end():
+    model = Mask2Former(num_classes=5, swin_size="tiny", num_queries=8)
+    x = jnp.zeros((1, 64, 96, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    logits, masks = model.apply(vars_, x)
+    assert logits.shape == (1, 8, 6)
+    assert masks.shape == (1, 8, 16, 24)
+    assert bool(jnp.isfinite(logits).all() and jnp.isfinite(masks).all())

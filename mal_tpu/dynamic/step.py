@@ -1,0 +1,107 @@
+"""DynamicDepth training step.
+
+Functional re-design of `dynamicdepth/trainer.py:432-660` (process_batch):
+the teacher/student photometric losses run over the *DOMD-processed* adjacent
+frames (objects moved to their warped positions, old positions blanked), so
+dynamic objects stop violating the static-scene photometric assumption.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mal_tpu import geometry, losses
+from mal_tpu.config import Config
+from mal_tpu.train.state import TrainState
+from mal_tpu.train.step import warp_frame
+
+Array = jax.Array
+
+
+def make_dynamic_train_step(cfg: Config, model,
+                            tx: optax.GradientTransformation) -> Callable:
+    train_teacher = not cfg.freeze_teacher_and_pose
+
+    def train_step(state: TrainState, batch: dict, rng: Array, epoch: Array):
+        rng_model, rng_noise = jax.random.split(rng)
+        min_d, max_d = state.bins.min_depth, state.bins.max_depth
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, min_d, max_d, rng_model, train=True,
+                train_teacher=train_teacher, mutable=["batch_stats"])
+
+            color0 = batch["color"]["0"]
+            adj = {-1: outputs["domd_color/-1"], 1: outputs["domd_color/1"]}
+
+            _, mono_depth = geometry.disp_to_depth(
+                outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
+            _, multi_depth = geometry.disp_to_depth(
+                outputs["disp"], cfg.min_depth, cfg.max_depth)
+
+            def warps(depth, detach):
+                out = []
+                for f in cfg.frame_ids[1:]:
+                    T = outputs[f"cam_T_cam/0/{f}"]
+                    if detach:
+                        T = jax.lax.stop_gradient(T)
+                    out.append(warp_frame(adj[f], depth, T, batch["K"],
+                                          batch["inv_K"]))
+                return out
+
+            identity = [adj[f] for f in cfg.frame_ids[1:]]
+            mono_out = losses.mono_losses(
+                rng_noise, outputs["mono_disp"], color0,
+                warps(mono_depth, False), identity,
+                smoothness_weight=cfg.disparity_smoothness)
+
+            mono_depth_sg = jax.lax.stop_gradient(mono_depth)
+            cmask = outputs["consistency_mask"] * losses.matching_mask(
+                mono_depth_sg, outputs["lowest_cost"])
+            multi_out = losses.multi_losses(
+                outputs["disp"], color0, warps(multi_depth, True),
+                multi_depth, mono_depth_sg, cmask,
+                outputs["augmentation_mask"],
+                jax.lax.stop_gradient(mono_out.min_reproj),
+                ensemble_min_reproj=None,
+                smoothness_weight=cfg.disparity_smoothness)
+
+            total = multi_out.loss
+            if train_teacher:
+                total = total + mono_out.loss
+            if cfg.distil:
+                total = total + multi_out.distil_loss
+
+            aux = {"batch_stats": mutated["batch_stats"],
+                   "mono_depth": mono_depth_sg,
+                   "metrics": {
+                       "loss": total,
+                       "mono_reproj": mono_out.reproj_loss,
+                       "multi_reproj": multi_out.reproj_loss,
+                       "consistency_loss": multi_out.consistency_loss,
+                       "distil_loss": multi_out.distil_loss,
+                   }}
+            return total, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if cfg.adaptive_bins and train_teacher:
+            new_bins = state.bins.update(aux["mono_depth"], cfg.min_depth,
+                                         cfg.depth_bin_ema)
+        else:
+            new_bins = state.bins
+
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=aux["batch_stats"], opt_state=new_opt_state,
+            bins=new_bins, balancer=state.balancer)
+        return new_state, aux["metrics"]
+
+    return train_step

@@ -1,0 +1,88 @@
+"""DynamicDepth composed model + train step (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mal_tpu.config import Config
+from mal_tpu.data.synthetic import synthetic_batch
+from mal_tpu.dynamic.model import DynDepthModel, doj_metrics
+from mal_tpu.dynamic.step import make_dynamic_train_step
+from mal_tpu.train.state import create_train_state, make_optimizer
+
+CFG = Config(height=64, width=96, num_depth_bins=16, batch_size=2,
+             method="dynamicdepth", cv_min=True, cv_set_1=True,
+             cv_pool_th=0.15, loss_blc=False, use_ensemble=False)
+
+
+def _batch_with_doj(cfg, rng, B=2):
+    batch = dict(synthetic_batch(cfg, rng, batch_size=B))
+    H, W = cfg.height, cfg.width
+    doj = np.zeros((B, H, W), np.float32)
+    doj[:, 20:40, 30:60] = 1.0
+    batch["doj_mask"] = jnp.asarray(doj)
+    batch["doj_mask-1"] = jnp.asarray(np.roll(doj, -4, axis=2))
+    batch["doj_mask+1"] = jnp.asarray(np.roll(doj, 4, axis=2))
+    return batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CFG
+    model = DynDepthModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch_with_doj(cfg, rng)
+    variables = model.init({"params": rng}, batch, jnp.asarray(0.1),
+                           jnp.asarray(10.0), rng, train=True)
+    return cfg, model, batch, variables
+
+
+@pytest.mark.slow
+def test_dyn_model_forward_shapes(setup):
+    cfg, model, batch, variables = setup
+    out = model.apply(variables, batch, jnp.asarray(0.1), jnp.asarray(10.0),
+                      jax.random.PRNGKey(1), train=False, mutable=False)
+    H, W = cfg.height, cfg.width
+    assert out["disp"].shape == (2, H, W, 1)
+    assert out["mono_disp"].shape == (2, H, W, 1)
+    assert out["domd_color/-1"].shape == (2, H, W, 3)
+    for k, v in out.items():
+        assert bool(jnp.isfinite(v).all()), k
+
+
+@pytest.mark.slow
+def test_dyn_model_domd_blanks_moved_objects(setup):
+    cfg, model, batch, variables = setup
+    out = model.apply(variables, batch, jnp.asarray(0.1), jnp.asarray(10.0),
+                      jax.random.PRNGKey(1), train=False, mutable=False)
+    # doj_mask-1 region is blanked unless the forward-warped object covers it
+    dm1 = np.asarray(batch["doj_mask-1"][0]) == 1
+    c = np.asarray(out["domd_color/-1"][0])
+    orig = np.asarray(batch["color"]["-1"][0])
+    # at least some masked pixels must differ from the original frame
+    assert np.abs(c[dm1] - orig[dm1]).max() > 0.1
+
+
+@pytest.mark.slow
+def test_dyn_train_step(setup):
+    cfg, model, batch, variables = setup
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, DynDepthModel(cfg), rng, batch)
+    tx = make_optimizer(cfg)
+    step = jax.jit(make_dynamic_train_step(cfg, DynDepthModel(cfg), tx))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.zeros(()))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state1.step) == 1
+
+
+def test_doj_metrics_restricted_to_mask():
+    gt = jnp.full((1, 8, 8), 10.0)
+    pred = jnp.full((1, 8, 8), 10.0)
+    pred = pred.at[:, :4].set(20.0)  # wrong in the top half
+    doj_bottom = jnp.zeros((1, 8, 8)).at[:, 4:].set(1.0)
+    m = doj_metrics(pred, gt, doj_bottom)
+    assert float(m["doj/abs_rel"]) == 0.0
+    doj_top = jnp.zeros((1, 8, 8)).at[:, :4].set(1.0)
+    m2 = doj_metrics(pred, gt, doj_top)
+    assert float(m2["doj/abs_rel"]) == 1.0

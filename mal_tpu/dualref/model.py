@@ -236,10 +236,13 @@ class DEQDepthPose(nn.Module):
             outputs[f"disp_0_{k}"] = convex_upsample_disp(
                 disp2, self.update_block.upsample_mask(st.net))
 
-        if combine_via_mask:
+        if combine_via_mask or train:
+            # training always computes the mask for the consistency loss
+            # (`depth_pose.py:553-593`); eval additionally blends with it
             mask = self._consistency_mask(
                 state_star, pose_star, fmap1, f2_pyramid, K2)
             outputs["consistency_mask"] = mask
+        if combine_via_mask and not train:
             m = mask.astype(outputs["disp_2_1"].dtype)
             outputs["disp_2_1"] = (outputs["disp_2_1"] * m
                                    + outputs["disp_2_0"] * (1 - m))

@@ -1,0 +1,51 @@
+"""DualRefine train step smoke test (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mal_tpu.config import Config
+from mal_tpu.data.synthetic import synthetic_batch
+from mal_tpu.dualref.model import DEQDepthPose
+from mal_tpu.dualref.step import make_dualref_train_step
+from mal_tpu.train.state import TrainState, DepthBinTracker, make_optimizer
+from mal_tpu.losses import LossBalancerState
+
+CFG = Config(height=64, width=96, deq_iters=2, corr_radius=2, corr_levels=2,
+             num_pose_iter=1, method="dualrefine", frame_ids=(0, -1),
+             batch_size=2)
+
+
+@pytest.mark.slow
+def test_dualref_train_step():
+    cfg = CFG
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=1)
+
+    variables = model.init(rng, batch["color_aug"]["0"],
+                           batch["color_aug"]["-1"], batch["K"],
+                           invert=True, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       bins=DepthBinTracker.create(),
+                       balancer=LossBalancerState.create())
+
+    step = jax.jit(make_dualref_train_step(cfg, model, tx))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["pose_loss"]))
+    assert int(state1.step) == 1
+    # global parameter movement (pose nets for unused sides stay at zero grad)
+    diff = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in
+               zip(jax.tree.leaves(state.params), jax.tree.leaves(state1.params)))
+    assert diff > 0.0
+    # the update block (refinement student) specifically must move
+    ub_diff = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in
+                  zip(jax.tree.leaves(state.params["update_block"]),
+                      jax.tree.leaves(state1.params["update_block"])))
+    assert ub_diff > 0.0

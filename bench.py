@@ -40,15 +40,16 @@ def main():
     step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
     epoch = jnp.zeros(())
-    # warmup / compile
+    # warmup / compile; device_get forces execution even over remote-attached
+    # devices (block_until_ready alone does not flush the axon tunnel)
     state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i), epoch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / n_iters
 
     fps = cfg.batch_size / dt

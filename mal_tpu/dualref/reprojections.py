@@ -97,8 +97,7 @@ class Reprojections(nn.Module):
 
         ds = d0 + deltas  # (B, 1, L*(2r+1), h, w)
         X0 = _iproj(ds, intr)  # (B, 4, 1, L*(2r+1), h, w)
-        X1 = jnp.einsum("bij,bjn->bin", poses,
-                        X0.reshape(B, 4, -1))
+        X1 = jnp.einsum("bij,bjn->bin", poses, X0.reshape(B, 4, -1), precision="highest")
         c1 = _proj(X1, intr).reshape(B, 2, self.num_levels, 2 * r + 1, h, w)
         # max_dx: (B, 1, h, w) -> NHWC (B, h, w, 1)
         return c1, jnp.moveaxis(max_dx, 1, -1), ds
@@ -109,7 +108,7 @@ class Reprojections(nn.Module):
         B, h, w, _ = depths.shape
         d0 = jnp.moveaxis(depths, -1, 1)[:, :, None]  # (B,1,1,h,w)
         X0 = _iproj(d0, intr)
-        X1 = jnp.einsum("bij,bjn->bin", poses, X0.reshape(B, 4, -1))
+        X1 = jnp.einsum("bij,bjn->bin", poses, X0.reshape(B, 4, -1), precision="highest")
         c1 = _proj(X1, intr).reshape(B, 2, 1, 1, h, w)
 
         p_dx = jnp.asarray([1.0, 0.0]).reshape(1, 2, 1, 1, 1, 1)
@@ -139,6 +138,6 @@ class Reprojections(nn.Module):
             ds = lin_full * (d0[:, None] - self.min_depth) + self.min_depth
 
         X0 = _iproj(ds, intr)
-        X1 = jnp.einsum("bij,bjn->bin", poses, X0.reshape(B, 4, -1))
+        X1 = jnp.einsum("bij,bjn->bin", poses, X0.reshape(B, 4, -1), precision="highest")
         c1 = _proj(X1, intr).reshape(B, 2, 1, D, h, w)
         return c1, ds

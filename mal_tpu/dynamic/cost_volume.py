@@ -60,8 +60,8 @@ def occlusion_aware_cost_volume(
 
     pix = geometry.pixel_grid(h, w, jnp.float32)
     P = (K[:, None] @ rel_poses)[:, :, :3, :]
-    rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)
-    A = jnp.einsum("bfij,bjn->bfin", P[:, :, :, :3], rays)
+    rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix, precision="highest")
+    A = jnp.einsum("bfij,bjn->bfin", P[:, :, :, :3], rays, precision="highest")
     t = P[:, :, :, 3]
     valid_frame = (jnp.sum(jnp.abs(rel_poses), axis=(-1, -2)) != 0)
     valid_frame = valid_frame.astype(dtype)[:, :, None, None, None]

@@ -41,7 +41,7 @@ def inverse_warp(img: Array, depth: Array, T: Array, K3: Array):
     cam = rays * depth.reshape(B, 1, -1)
     P = K3 @ T[:, :3, :3]
     t = (K3 @ T[:, :3, 3:])[:, :, 0]
-    pc = jnp.einsum("bij,bjn->bin", P, cam) + t[:, :, None]
+    pc = jnp.einsum("bij,bjn->bin", P, cam, precision="highest") + t[:, :, None]
     z = jnp.maximum(pc[:, 2], 1e-3)
     gx = 2.0 * (pc[:, 0] / z) / (W - 1) - 1.0
     gy = 2.0 * (pc[:, 1] / z) / (H - 1) - 1.0
@@ -70,10 +70,10 @@ def forward_warp(img: Array, depth: Array, T: Array, K3: Array,
     cam = rays * depth_u.reshape(B, 1, -1)  # (B, 3, uHW)
 
     R, t = T[:, :3, :3], T[:, :3, 3:]
-    cam_t = jnp.einsum("bij,bjn->bin", R, cam) + t
+    cam_t = jnp.einsum("bij,bjn->bin", R, cam, precision="highest") + t
     Z = jnp.maximum(cam_t[:, 2], 1e-3)
     # project with the ORIGINAL intrinsics -> original-resolution pixels
-    P = jnp.einsum("bij,bjn->bin", K3, cam_t / Z[:, None])
+    P = jnp.einsum("bij,bjn->bin", K3, cam_t / Z[:, None], precision="highest")
     x = P[:, 0]
     y = P[:, 1]
 

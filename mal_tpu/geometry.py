@@ -120,7 +120,7 @@ def backproject(depth: Array, inv_K: Array, height: int, width: int) -> Array:
     Returns (B, 4, H*W). Reference: `manydepth/layers.py:138-168`.
     """
     pix = pixel_grid(height, width, depth.dtype)  # (3, HW)
-    cam_rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)  # (B, 3, HW)
+    cam_rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix, precision="highest")  # (B, 3, HW)
     d = depth.reshape(depth.shape[0], 1, height * width)
     cam_points = d * cam_rays
     ones = jnp.ones((depth.shape[0], 1, height * width), depth.dtype)
@@ -137,7 +137,7 @@ def project_3d(points: Array, K: Array, T: Array, height: int, width: int,
     Reference: `manydepth/layers.py:171-199`.
     """
     P = (K @ T)[:, :3, :]  # (B, 3, 4)
-    cam_points = P @ points  # (B, 3, HW)
+    cam_points = jnp.einsum("bij,bjn->bin", P, points, precision="highest")  # (B, 3, HW)
     pix = cam_points[:, :2, :] / (cam_points[:, 2:3, :] + eps)
     pix = pix.reshape(-1, 2, height, width).transpose(0, 2, 3, 1)  # (B,H,W,2)
     scale = jnp.asarray([width - 1, height - 1], pix.dtype)
@@ -152,7 +152,7 @@ def project_3d_with_depth(points: Array, K: Array, T: Array,
     Reference: `manydepth/networks/layers.py` Project3D(dc=True).
     """
     P = (K @ T)[:, :3, :]
-    cam_points = P @ points
+    cam_points = jnp.einsum("bij,bjn->bin", P, points, precision="highest")
     z = cam_points[:, 2, :].reshape(-1, height, width)
     pix = cam_points[:, :2, :] / (cam_points[:, 2:3, :] + eps)
     pix = pix.reshape(-1, 2, height, width).transpose(0, 2, 3, 1)

@@ -76,8 +76,8 @@ def plane_sweep_cost_volume(
 
     # Per-(b, f) projective precompute: pix_h(d) = d * (A @ pix) + t
     P = (K[:, None] @ rel_poses)[:, :, :3, :]          # (B, F, 3, 4)
-    rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)  # (B, 3, HW)
-    A = jnp.einsum("bfij,bjn->bfin", P[:, :, :, :3], rays)   # (B, F, 3, HW)
+    rays = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix, precision="highest")  # (B, 3, HW)
+    A = jnp.einsum("bfij,bjn->bfin", P[:, :, :, :3], rays, precision="highest")   # (B, F, 3, HW)
     t = P[:, :, :, 3]                                        # (B, F, 3)
 
     valid_frame = (jnp.sum(jnp.abs(rel_poses), axis=(-1, -2)) != 0)  # (B, F)

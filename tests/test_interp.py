@@ -74,3 +74,32 @@ def test_upsample2x_nearest_matches_torch():
                         scale_factor=2, mode="nearest"
                         ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("align", [True, False])
+def test_grid_sample_packed_matches_torch(padding, align):
+    from mal_tpu.ops.interp import grid_sample_packed
+    rng = np.random.RandomState(7)
+    img = _rand_img(rng, 2, 9, 13, 4)
+    grid = _rand_grid(rng, 2, 7, 11, lo=-1.6, hi=1.6)  # deep OOB bands too
+
+    ours = np.asarray(grid_sample_packed(jnp.asarray(img), jnp.asarray(grid),
+                                         padding_mode=padding,
+                                         align_corners=align))
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2), torch.from_numpy(grid),
+        mode="bilinear", padding_mode=padding, align_corners=align,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_packed_equals_reference_impl():
+    from mal_tpu.ops.interp import grid_sample_reference as grid_sample, grid_sample_packed
+    rng = np.random.RandomState(8)
+    img = jnp.asarray(_rand_img(rng, 3, 16, 20, 8))
+    grid = jnp.asarray(_rand_grid(rng, 3, 10, 14, lo=-2.0, hi=2.0))
+    for pad in ("zeros", "border"):
+        a = np.asarray(grid_sample(img, grid, pad, True))
+        b = np.asarray(grid_sample_packed(img, grid, pad, True))
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -163,3 +163,20 @@ def export_gt_depths(data_path: str, split_dir: str, out_path: str,
         gt_depths.append(generate_depth_map(calib_dir, velo, 2).astype(np.float32))
     np.savez_compressed(out_path, data=np.array(gt_depths, dtype=object))
     return len(gt_depths)
+
+
+class KITTIDepthDataset(KITTIRAWDataset):
+    """KITTI with the official updated GT depth maps
+    (`manydepth/datasets/kitti_dataset.py:129-159`)."""
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        f_str = f"{frame_index:010d}.png"
+        depth_path = os.path.join(
+            self.data_path, folder,
+            f"proj_depth/groundtruth/image_0{SIDE_MAP[side]}", f_str)
+        img = Image.open(depth_path)
+        img = img.resize(KITTI_FULL_RES, Image.NEAREST)
+        depth = np.asarray(img).astype(np.float32) / 256.0
+        if do_flip:
+            depth = np.fliplr(depth)
+        return depth

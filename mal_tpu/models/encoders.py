@@ -33,10 +33,11 @@ class ResnetEncoder(nn.Module):
     """Plain ResNet pyramid encoder with input normalization."""
     num_layers: int = 18
     num_input_images: int = 1
+    dtype: Any = None
 
     def setup(self):
         self.trunk = ResNetFeatures(self.num_layers, self.num_input_images,
-                                    name="encoder")
+                                    dtype=self.dtype, name="encoder")
 
     def __call__(self, image: Array, train: bool = False) -> list[Array]:
         return self.trunk(imagenet_normalize(image), train=train)
@@ -61,12 +62,14 @@ class ResnetEncoderMatching(nn.Module):
     adaptive_bins: bool = True
     cv_chunk: int = 16
     use_pallas: bool = True  # Pallas plane-sweep kernel on TPU (3.9x faster)
+    dtype: Any = None
 
     def setup(self):
-        self.trunk = ResNetFeatures(self.num_layers, 1, name="encoder")
+        self.trunk = ResNetFeatures(self.num_layers, 1, dtype=self.dtype,
+                                    name="encoder")
         width = 256 if self.num_layers in (50, 101, 152) else 64
         self.reduce_conv = nn.Conv(width, (3, 3), padding=((1, 1), (1, 1)),
-                                   name="reduce_conv")
+                                   dtype=self.dtype, name="reduce_conv")
 
     def feature_extraction(self, image: Array, train: bool = False) -> list[Array]:
         """First two ResNet stages (`resnet_encoder.py:235-245`)."""
@@ -80,14 +83,14 @@ class ResnetEncoderMatching(nn.Module):
         F = lookup_images.shape[1]
 
         feats = self.feature_extraction(current_image, train=train)
-        cur_feats = feats[-1]  # (B, h, w, 64) at 1/4
+        cur_feats = feats[-1].astype(jnp.float32)  # (B, h, w, 64) at 1/4
 
         # lookup features + cost volume: constant w.r.t. params
         # (reference computes them under no_grad, `resnet_encoder.py:292-305`)
         lookup_flat = lookup_images.reshape((B * F,) + lookup_images.shape[2:])
         lookup_feats = self.feature_extraction(lookup_flat, train=train)[-1]
         lookup_feats = lookup_feats.reshape((B, F) + lookup_feats.shape[1:])
-        lookup_feats = jax.lax.stop_gradient(lookup_feats)
+        lookup_feats = jax.lax.stop_gradient(lookup_feats.astype(jnp.float32))
 
         depth_bins = compute_depth_bins(min_depth_bin, max_depth_bin,
                                         self.num_depth_bins, self.depth_binning)

@@ -39,30 +39,41 @@ class MALModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         self.encoder = ResnetEncoderMatching(
             num_layers=cfg.num_layers,
             num_depth_bins=cfg.num_depth_bins,
             depth_binning=cfg.depth_binning,
             adaptive_bins=cfg.adaptive_bins,
+            use_pallas=cfg.use_pallas,
+            dtype=dtype,
             name="encoder",
         )
-        self.depth = DepthDecoder(name="depth")
-        self.mono_encoder = ResnetEncoder(num_layers=18, name="mono_encoder")
-        self.mono_depth = DepthDecoder(name="mono_depth")
+        self.depth = DepthDecoder(dtype=dtype, name="depth")
+        self.mono_encoder = ResnetEncoder(num_layers=18, dtype=dtype,
+                                          name="mono_encoder")
+        self.mono_depth = DepthDecoder(dtype=dtype, name="mono_depth")
         if cfg.pose_cnn:
-            self.pose_encoder = PoseCNN(num_input_frames=3, name="pose_encoder")
+            # pair-input PoseCNN (the reference's pose_cnn branch is vestigial
+            # — `repdepth.py:49-54` builds it but the matching predict path is
+            # commented out; here it is a working drop-in for the pair API)
+            self.pose_encoder = PoseCNN(num_input_frames=2, name="pose_encoder")
             self.pose = None
         else:
             self.pose_encoder = ResnetEncoder(num_layers=18, num_input_images=2,
-                                              name="pose_encoder")
-            self.pose = PoseDecoder(num_frames_to_predict_for=2, name="pose")
+                                              dtype=dtype, name="pose_encoder")
+            self.pose = PoseDecoder(num_frames_to_predict_for=2, dtype=dtype,
+                                    name="pose")
 
     # ------------------------------------------------------------------
     def _pose_from_pair(self, img_a: Array, img_b: Array, train: bool):
         """Axis-angle + translation from a temporally-ordered frame pair."""
-        feats = self.pose_encoder(jnp.concatenate([img_a, img_b], axis=-1),
-                                  train=train)
-        axisangle, translation = self.pose(feats[-1])
+        stacked = jnp.concatenate([img_a, img_b], axis=-1)
+        if self.cfg.pose_cnn:
+            axisangle, translation = self.pose_encoder(stacked)
+        else:
+            feats = self.pose_encoder(stacked, train=train)
+            axisangle, translation = self.pose(feats[-1])
         return axisangle[:, 0, 0], translation[:, 0, 0]  # (B, 3) each
 
     def predict_poses(self, inputs: dict, train: bool) -> dict:

@@ -7,6 +7,8 @@ conv + 3 pose convs + global mean + 0.01 scale); `PoseCNN` mirrors
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -18,17 +20,19 @@ class PoseDecoder(nn.Module):
     """Predicts (axisangle, translation) for `num_frames_to_predict_for` frames.
 
     Input: the last ResNet feature map (B, H/32, W/32, 512).
-    Output: axisangle, translation, each (B, num_frames, 1, 3).
+    Output: axisangle, translation, each (B, num_frames, 1, 3) in fp32
+    (pose/geometry math must stay fp32).
     """
     num_frames_to_predict_for: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, last_feature: Array):
-        y = nn.relu(nn.Conv(256, (1, 1), name="squeeze")(last_feature))
-        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="pose_0")(y))
-        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="pose_1")(y))
-        y = nn.Conv(6 * self.num_frames_to_predict_for, (1, 1), name="pose_2")(y)
-        y = jnp.mean(y, axis=(1, 2))  # (B, 6*nf)
+        y = nn.relu(nn.Conv(256, (1, 1), name="squeeze", dtype=self.dtype)(last_feature))
+        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="pose_0", dtype=self.dtype)(y))
+        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="pose_1", dtype=self.dtype)(y))
+        y = nn.Conv(6 * self.num_frames_to_predict_for, (1, 1), name="pose_2", dtype=self.dtype)(y)
+        y = jnp.mean(y.astype(jnp.float32), axis=(1, 2))  # (B, 6*nf) fp32
         y = 0.01 * y.reshape(-1, self.num_frames_to_predict_for, 1, 6)
         return y[..., :3], y[..., 3:]
 

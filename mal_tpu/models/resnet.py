@@ -9,7 +9,7 @@ padding so converted checkpoints are bit-comparable.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -25,25 +25,29 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None  # compute dtype (bf16 for the TPU fast path)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         identity = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                         epsilon=_BN_EPS, name="bn1")(y)
+                         epsilon=_BN_EPS, name="bn1", dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, name="conv2", dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                         epsilon=_BN_EPS, name="bn2")(y)
+                         epsilon=_BN_EPS, name="bn2", dtype=self.dtype)(y)
         if self.downsample:
             identity = nn.Conv(self.filters, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, name="downsample_conv",
+                               dtype=self.dtype)(x)
             identity = nn.BatchNorm(use_running_average=not train,
                                     momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
-                                    name="downsample_bn")(identity)
+                                    name="downsample_bn",
+                                    dtype=self.dtype)(identity)
         return nn.relu(y + identity)
 
 
@@ -51,29 +55,30 @@ class Bottleneck(nn.Module):
     filters: int  # bottleneck width; output channels = 4 * filters
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         identity = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1", dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                         epsilon=_BN_EPS, name="bn1")(y)
+                         epsilon=_BN_EPS, name="bn1", dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2", dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                         epsilon=_BN_EPS, name="bn2")(y)
+                         epsilon=_BN_EPS, name="bn2", dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, name="conv3", dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                         epsilon=_BN_EPS, name="bn3")(y)
+                         epsilon=_BN_EPS, name="bn3", dtype=self.dtype)(y)
         if self.downsample:
             identity = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="downsample_conv")(x)
+                               name="downsample_conv", dtype=self.dtype)(x)
             identity = nn.BatchNorm(use_running_average=not train,
                                     momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
-                                    name="downsample_bn")(identity)
+                                    name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(y + identity)
 
 
@@ -99,6 +104,7 @@ class ResNetFeatures(nn.Module):
     """
     num_layers: int = 18
     num_input_images: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -118,11 +124,13 @@ class ResNetFeatures(nn.Module):
         feats: list[Array] = []
         y = x
         if start_stage == 0:
+            if self.dtype is not None:
+                y = y.astype(self.dtype)
             y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                        use_bias=False, name="conv1")(y)
+                        use_bias=False, name="conv1", dtype=self.dtype)(y)
             y = nn.BatchNorm(use_running_average=not train,
                              momentum=_BN_MOMENTUM, epsilon=_BN_EPS,
-                             name="bn1")(y)
+                             name="bn1", dtype=self.dtype)(y)
             y = nn.relu(y)
             feats.append(y)  # 1/2
             if stages == 1:
@@ -143,6 +151,7 @@ class ResNetFeatures(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0 and (stride != 1 or in_ch != out_ch)),
                     name=f"layer{stage_idx + 1}_{b}",
+                    dtype=self.dtype,
                 )(y, train=train)
             feats.append(y)  # 1/4, 1/8, 1/16, 1/32
         return feats

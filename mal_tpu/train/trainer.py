@@ -59,7 +59,11 @@ class Trainer:
         self.gt_depths = gt_depths
         self.logger = logger or MetricLogger()
 
-        self.model = MALModel(cfg)
+        if cfg.method == "dynamicdepth":
+            from mal_tpu.dynamic.model import DynDepthModel
+            self.model = DynDepthModel(cfg)
+        else:
+            self.model = MALModel(cfg)
         self.tx = make_optimizer(cfg)
 
         rng = jax.random.PRNGKey(seed)
@@ -69,11 +73,25 @@ class Trainer:
         self.state = create_train_state(cfg, self.model, rng, sample)
 
         self.mesh = make_mesh(num_devices)
-        self.step_fn = data_parallel_step(
-            make_train_step(cfg, self.model, self.tx), self.mesh)
+        if cfg.method == "dynamicdepth":
+            from mal_tpu.dynamic.step import make_dynamic_train_step
+            raw_step = make_dynamic_train_step(cfg, self.model, self.tx)
+        else:
+            raw_step = make_train_step(cfg, self.model, self.tx)
+        self.step_fn = data_parallel_step(raw_step, self.mesh)
         self.state = replicate(self.state, self.mesh)
         self.step = 0
         self.start_time = time.time()
+
+    def resume(self, ckpt_path: str):
+        """Restore a saved TrainState and continue mid-run (the reference has
+        no mid-epoch resume at all; SURVEY.md §5 checkpoint/resume)."""
+        from mal_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(ckpt_path, jax.device_get(self.state))
+        self.state = replicate(restored, self.mesh)
+        self.step = int(restored.step)
+        return self.step
 
     # ------------------------------------------------------------------
     def train(self):

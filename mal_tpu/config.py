@@ -53,6 +53,7 @@ class Config:
     # (`manydepth/networks/repdepth.py:279-293`)
     aug_static_camera_p: float = 0.25
     aug_zero_cost_volume_p: float = 0.25
+    grad_clip_norm: float = 0.0   # optional global-norm clip (0 = off)
     disable_automasking: bool = False
     disable_motion_masking: bool = False
     no_matching_augmentation: bool = False

@@ -46,8 +46,12 @@ def _iproj(depths: Array, intr: Intrinsics):
 
 
 def _proj(Xs: Array, intr: Intrinsics):
-    """Xs: (B, 4, N) -> pixel coords (B, 2, N) (z-clamped like the ref)."""
+    """Xs: (B, 4, N) -> pixel coords (B, 2, N) (z-clamped like the ref).
+
+    Z is clamped away from zero sign-preservingly so the backward pass never
+    produces inf * 0 = NaN (see `geometry._safe_denom`)."""
     X, Y, Z = Xs[:, 0], Xs[:, 1], Xs[:, 2]
+    Z = jnp.where(jnp.abs(Z) < 1e-6, jnp.where(Z < 0, -1e-6, 1e-6), Z)
     d = jnp.clip(1.0 / Z, a_max=100.0)
     x = intr.fx[:, None] * (X * d) + intr.cx[:, None]
     y = intr.fy[:, None] * (Y * d) + intr.cy[:, None]

@@ -138,10 +138,28 @@ def project_3d(points: Array, K: Array, T: Array, height: int, width: int,
     """
     P = (K @ T)[:, :3, :]  # (B, 3, 4)
     cam_points = jnp.einsum("bij,bjn->bin", P, points, precision="highest")  # (B, 3, HW)
-    pix = cam_points[:, :2, :] / (cam_points[:, 2:3, :] + eps)
+    pix = cam_points[:, :2, :] / _safe_denom(cam_points[:, 2:3, :] + eps)
     pix = pix.reshape(-1, 2, height, width).transpose(0, 2, 3, 1)  # (B,H,W,2)
     scale = jnp.asarray([width - 1, height - 1], pix.dtype)
-    return (pix / scale - 0.5) * 2.0
+    grid = (pix / scale - 0.5) * 2.0
+    # Coordinates far outside [-1, 1] behave identically under border/zeros
+    # sampling; clipping them (a) keeps that behaviour bit-for-bit and
+    # (b) zeroes the backward cotangent before it multiplies the enormous
+    # -xy/z^2 projective Jacobian of near-camera-plane points, which
+    # otherwise overflows gradients to inf (and Adam turns inf into NaN).
+    return jnp.clip(grid, -10.0, 10.0)
+
+
+def _safe_denom(z: Array, floor: float = 1e-6) -> Array:
+    """Sign-preserving clamp of a projective denominator away from zero.
+
+    Points with |z| < 1e-6 sit on the camera plane and land far outside the
+    image either way (the warp border/zeros handling discards them), but an
+    unguarded divide makes the *backward* pass compute -xy/z^2 = inf, and
+    inf * (masked-zero cotangent) = NaN — which was poisoning whole training
+    steps. Forward values are unchanged for any physically meaningful sample.
+    """
+    return jnp.where(jnp.abs(z) < floor, jnp.where(z < 0, -floor, floor), z)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -154,7 +172,7 @@ def project_3d_with_depth(points: Array, K: Array, T: Array,
     P = (K @ T)[:, :3, :]
     cam_points = jnp.einsum("bij,bjn->bin", P, points, precision="highest")
     z = cam_points[:, 2, :].reshape(-1, height, width)
-    pix = cam_points[:, :2, :] / (cam_points[:, 2:3, :] + eps)
+    pix = cam_points[:, :2, :] / _safe_denom(cam_points[:, 2:3, :] + eps)
     pix = pix.reshape(-1, 2, height, width).transpose(0, 2, 3, 1)
     scale = jnp.asarray([width - 1, height - 1], pix.dtype)
     return (pix / scale - 0.5) * 2.0, z

@@ -65,10 +65,38 @@ class TrainState:
     balancer: LossBalancerState
 
 
+def sanitize_grads() -> optax.GradientTransformation:
+    """Replace non-finite gradient entries with 0.
+
+    Degenerate projective samples (points on the camera plane) can produce
+    gradient spikes above ~1.8e19, whose square overflows Adam's second
+    moment to inf and poisons the parameters with NaN. The reference avoids
+    the regime only by always starting from pretrained weights
+    (`README.md:22` --load_pretrained); this guard makes from-scratch and
+    synthetic-data training robust with zero effect on healthy steps.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     schedule = warmup_step_schedule(cfg.init_lr, cfg.learning_rate,
                                     cfg.warmup_steps, cfg.decay_steps)
-    tx = optax.adam(schedule)
+    chain = [sanitize_grads()]
+    if getattr(cfg, "grad_clip_norm", 0.0):
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(optax.adam(schedule))
+    tx = optax.chain(*chain)
 
     frozen: list[str] = []
     if cfg.freeze_teacher_and_pose:

@@ -101,3 +101,28 @@ def test_scale_intrinsics():
     assert float(K2[0, 0, 0]) == 160.0
     assert float(K2[0, 0, 2]) == 80.0
     assert float(K2[0, 2, 2]) == 1.0
+
+
+def test_project_3d_gradient_finite_at_zero_z():
+    """Regression: points crossing the camera plane (z ~ -1e-7) must not
+    produce NaN gradients through masked warps (inf * 0 in the div backward)."""
+    B, H, W = 1, 4, 6
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 10.0, 10.0, 3.0, 2.0
+    K = jnp.asarray(K[None])
+    T = jnp.eye(4)[None]
+
+    def loss(depth_scale):
+        # z values straddling zero, including one at exactly -1e-7
+        z = jnp.asarray([-1e-7, -1e-3, 1e-8, 0.5, 1.0, 2.0] * 4,
+                        jnp.float32).reshape(1, H, W) * depth_scale
+        pts = jnp.stack([jnp.ones_like(z.reshape(1, -1)),
+                         jnp.ones_like(z.reshape(1, -1)),
+                         z.reshape(1, -1),
+                         jnp.ones_like(z.reshape(1, -1))], axis=1)
+        grid = geometry.project_3d(pts, K, T, H, W)
+        # masked consumption (out-of-range coords clipped away)
+        return jnp.sum(jnp.clip(grid, -1.0, 1.0))
+
+    g = jax.grad(loss)(jnp.asarray(1.0))
+    assert np.isfinite(float(g))

@@ -52,6 +52,9 @@ def main():
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / n_iters
 
+    final_loss = float(jax.device_get(metrics["loss"]))
+    assert jnp.isfinite(final_loss), f"training diverged: loss={final_loss}"
+
     fps = cfg.batch_size / dt
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip_640x192",

@@ -51,7 +51,8 @@ class Trainer:
                  gt_depths: list | None = None,
                  logger: MetricLogger | None = None,
                  num_devices: int | None = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 seg_variables=None):
         assert cfg.height % 32 == 0 and cfg.width % 32 == 0
         self.cfg = cfg
         self.train_loader = train_loader
@@ -72,12 +73,24 @@ class Trainer:
         sample = jax.tree.map(jnp.asarray, sample)
         self.state = create_train_state(cfg, self.model, rng, sample)
 
+        # frozen Mask2Former front-end for the MAL temporal hint
+        # (`manydepth/trainer.py:350-357`)
+        seg_fn = None
+        if cfg.temporal or cfg.main_temporal:
+            from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+            self.seg_model = Mask2Former(max_instances=cfg.max_instances)
+            seg_vars = seg_variables if seg_variables is not None else \
+                self.seg_model.init(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, cfg.height, cfg.width, 3)))
+            seg_fn = make_seg_fn(self.seg_model, seg_vars, cfg.max_instances,
+                                 mask_threshold=0.0)
+
         self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.step import make_dynamic_train_step
             raw_step = make_dynamic_train_step(cfg, self.model, self.tx)
         else:
-            raw_step = make_train_step(cfg, self.model, self.tx)
+            raw_step = make_train_step(cfg, self.model, self.tx, seg_fn=seg_fn)
         self.step_fn = data_parallel_step(raw_step, self.mesh)
         self.state = replicate(self.state, self.mesh)
         self.step = 0

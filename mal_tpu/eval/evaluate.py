@@ -91,14 +91,18 @@ def evaluate_depth_maps(pred_disps: Sequence[np.ndarray],
 
 def infer_disparities(model, variables, batches: Iterable[dict], cfg: Config,
                       eval_teacher: bool = False,
-                      min_depth_bin=None, max_depth_bin=None) -> np.ndarray:
-    """Run the jit eval forward over host batches; returns (N, H, W) scaled disps."""
+                      min_depth_bin=None, max_depth_bin=None,
+                      mesh=None) -> np.ndarray:
+    """Run the jit eval forward over host batches; returns (N, H, W) scaled disps.
+
+    With `mesh`, batches are sharded over the data axis (DP inference — the
+    reference evaluates on the main process only, `manydepth/trainer.py:518`).
+    """
     if min_depth_bin is None:
         min_depth_bin = jnp.asarray(0.1)
     if max_depth_bin is None:
         max_depth_bin = jnp.asarray(10.0)
 
-    @jax.jit
     def forward(batch):
         out = model.apply(variables, batch, min_depth_bin, max_depth_bin,
                           method=type(model).eval_forward, mutable=False)
@@ -107,5 +111,17 @@ def infer_disparities(model, variables, batches: Iterable[dict], cfg: Config,
                                                 EVAL_MAX_DEPTH)
         return scaled_disp[..., 0]
 
-    disps = [np.asarray(forward(b)) for b in batches]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        fwd = jax.jit(forward, in_shardings=(data,),
+                      out_shardings=NamedSharding(mesh, P()))
+
+        def run(b):
+            return fwd(jax.tree.map(jnp.asarray, b))
+    else:
+        fwd = jax.jit(forward)
+        run = fwd
+
+    disps = [np.asarray(run(b)) for b in batches]
     return np.concatenate(disps, axis=0)

@@ -138,13 +138,18 @@ class MonoDataset:
 
 
 def collate(items: Sequence[dict]) -> dict:
-    """Stack items into the batched canonical format."""
-    out: dict = {"color": {}, "color_aug": {}}
-    for key in ("color", "color_aug"):
-        for f in items[0][key]:
-            out[key][f] = np.stack([it[key][f] for it in items])
-    out["K"] = np.stack([it["K"] for it in items])
-    out["inv_K"] = np.stack([it["inv_K"] for it in items])
+    """Stack items into the batched canonical format.
+
+    Nested frame dicts (color/color_aug) stack per frame; any other array
+    entry (K, inv_K, doj masks, depth_gt, ...) stacks along a new batch dim.
+    """
+    out: dict = {}
+    for key, val in items[0].items():
+        if isinstance(val, dict):
+            out[key] = {f: np.stack([it[key][f] for it in items])
+                        for f in val}
+        else:
+            out[key] = np.stack([it[key] for it in items])
     return out
 
 

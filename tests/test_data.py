@@ -105,3 +105,28 @@ def test_checkpoint_roundtrip(tmp_path):
 
     cfg2 = load_config(str(tmp_path / "ckpt"))
     assert cfg2.height == 64 and cfg2.num_depth_bins == 16
+
+
+def test_doj_mask_attachment(kitti_root, tmp_path):
+    from mal_tpu.data.doj import attach_doj_masks
+
+    ds = KITTIRAWDataset(kitti_root, _filenames(), 32, 96, [0, -1, 1],
+                         is_train=False)
+    doj_root = tmp_path / "masks"
+    doj_root.mkdir()
+    key = "2011_09_26_2011_09_26_drive_0001_sync_1_l"
+    m = np.zeros((60, 200), np.float32)
+    m[10:30, 40:120] = 1.0
+    np.save(doj_root / f"{key}.npy", m)
+    np.save(doj_root / f"{key}-1.npy", m)
+
+    wrapped = attach_doj_masks(ds, str(doj_root))
+    item = wrapped[0]  # filenames[0] -> frame 1
+    assert item["doj_mask"].shape == (32, 96)
+    assert item["doj_mask"].max() == 1.0
+    assert item["doj_mask-1"].max() == 1.0
+    assert item["doj_mask+1"].max() == 0.0  # missing file -> zeros
+
+    batch = collate([wrapped[0], wrapped[0]])
+    assert batch["doj_mask"].shape == (2, 32, 96)
+    assert batch["color"]["0"].shape == (2, 32, 96, 3)

@@ -202,3 +202,82 @@ def test_pose_decoder_forward_parity():
         taa, tt = tdec(torch.from_numpy(feat).permute(0, 3, 1, 2))
     np.testing.assert_allclose(np.asarray(aa), taa.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(t), tt.numpy(), atol=1e-6)
+
+
+class TorchMatchingEncoderLayout(nn.Module):
+    """Mimics the reference's Sequential-wrapped state-dict layout
+    (`resnet_encoder.py:106-119`): layer0=(conv1,bn1,relu),
+    layer1=(maxpool, blocks), layer2-4 plain, reduce_conv=(conv,relu)."""
+
+    def __init__(self, D=8):
+        super().__init__()
+        trunk = TorchResNet18()
+        self.layer0 = nn.Sequential(trunk.conv1, trunk.bn1, nn.ReLU())
+        self.layer1 = nn.Sequential(trunk.maxpool, trunk.layer1)
+        self.layer2 = trunk.layer2
+        self.layer3 = trunk.layer3
+        self.layer4 = trunk.layer4
+        self.reduce_conv = nn.Sequential(
+            nn.Conv2d(64 + D, 64, 3, 1, 1), nn.ReLU())
+
+    def features(self, x):
+        f0 = self.layer0(x)
+        f1 = self.layer1(f0)
+        return f0, f1
+
+    def deep(self, fused):
+        f2 = self.layer2(fused)
+        f3 = self.layer3(f2)
+        f4 = self.layer4(f3)
+        return f2, f3, f4
+
+
+def test_matching_encoder_converter_parity():
+    from mal_tpu.convert.torch_weights import convert_matching_encoder
+    from mal_tpu.models.resnet import ResNetFeatures
+
+    torch.manual_seed(3)
+    D = 8
+    tenc = TorchMatchingEncoderLayout(D).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tenc, np.random.RandomState(4))
+    sd = {k: v.numpy() for k, v in tenc.state_dict().items()}
+    sd["min_depth_bin"] = np.float32(0.3)
+    sd["max_depth_bin"] = np.float32(12.0)
+    params, stats, extras = convert_matching_encoder(sd, 18)
+    assert float(extras["min_depth_bin"]) == np.float32(0.3)
+
+    x = np.random.RandomState(5).uniform(-1, 1, (2, 64, 96, 3)).astype(np.float32)
+    trunk = ResNetFeatures(18)
+    tvars = {"params": params["encoder"], "batch_stats": stats["encoder"]}
+    feats = trunk.apply(tvars, jnp.asarray(x), train=False, stages=2)
+
+    with torch.no_grad():
+        tf0, tf1 = tenc.features(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(feats[0]),
+                               tf0.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(feats[1]),
+                               tf1.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+    # fused stage-2 entry point + deep stages
+    fused = np.random.RandomState(6).uniform(-1, 1, (2, 16, 24, 64)).astype(np.float32)
+    deep = trunk.apply(tvars, jnp.asarray(fused), train=False, stages=5,
+                       start_stage=2)
+    with torch.no_grad():
+        tf2, tf3, tf4 = tenc.deep(torch.from_numpy(fused).permute(0, 3, 1, 2))
+    for ours, ref in zip(deep, (tf2, tf3, tf4)):
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref.permute(0, 2, 3, 1).numpy(), atol=3e-4)
+
+    # reduce_conv weights land in the right slot
+    import jax.lax as lax
+    rc_in = np.random.RandomState(7).uniform(-1, 1, (2, 16, 24, 64 + D)).astype(np.float32)
+    w = params["reduce_conv"]["kernel"]
+    b = params["reduce_conv"]["bias"]
+    ours_rc = jax.nn.relu(lax.conv_general_dilated(
+        jnp.asarray(rc_in), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(b))
+    with torch.no_grad():
+        ref_rc = tenc.reduce_conv(torch.from_numpy(rc_in).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(ours_rc),
+                               ref_rc.permute(0, 2, 3, 1).numpy(), atol=2e-5)

@@ -281,3 +281,76 @@ def test_matching_encoder_converter_parity():
         ref_rc = tenc.reduce_conv(torch.from_numpy(rc_in).permute(0, 3, 1, 2))
     np.testing.assert_allclose(np.asarray(ours_rc),
                                ref_rc.permute(0, 2, 3, 1).numpy(), atol=2e-5)
+
+
+def test_full_checkpoint_dir_conversion(tmp_path):
+    """Build a reference-layout checkpoint dir (per-net .pth files with the
+    reference key layouts) and ingest it with `convert_mal_checkpoint_dir`,
+    then run the full MALModel eval forward with the converted weights."""
+    from mal_tpu.config import Config
+    from mal_tpu.convert.torch_weights import convert_mal_checkpoint_dir
+    from mal_tpu.data.synthetic import synthetic_batch
+    from mal_tpu.models import MALModel
+
+    torch.manual_seed(9)
+    D = 16
+
+    # per-net torch modules with the reference's state-dict layouts
+    enc = TorchMatchingEncoderLayout(D).eval()
+    depth = TorchDepthDecoder().eval()
+    mono_depth = TorchDepthDecoder().eval()
+    pose_dec = TorchPoseDecoder(nf=2).eval()
+
+    class Wrap(nn.Module):  # ResnetEncoder stores the trunk under .encoder
+        def __init__(self, num_input_images=1):
+            super().__init__()
+            self.encoder = TorchResNet18()
+            if num_input_images > 1:
+                self.encoder.conv1 = nn.Conv2d(3 * num_input_images, 64, 7, 2,
+                                               3, bias=False)
+
+    mono_enc = Wrap().eval()
+    pose_enc = Wrap(num_input_images=2).eval()
+
+    ck = tmp_path / "KITTI_MR"
+    ck.mkdir()
+    enc_sd = enc.state_dict()
+    enc_sd["min_depth_bin"] = torch.tensor(0.42)
+    enc_sd["max_depth_bin"] = torch.tensor(8.5)
+    torch.save(enc_sd, ck / "encoder.pth")
+    torch.save(depth.state_dict(), ck / "depth.pth")
+    torch.save(mono_enc.state_dict(), ck / "mono_encoder.pth")
+    torch.save(mono_depth.state_dict(), ck / "mono_depth.pth")
+    torch.save(pose_enc.state_dict(), ck / "pose_encoder.pth")
+    torch.save(pose_dec.state_dict(), ck / "pose.pth")
+
+    params, stats, extras = convert_mal_checkpoint_dir(str(ck), 18)
+    assert abs(float(extras["min_depth_bin"]) - 0.42) < 1e-6
+
+    cfg = Config(height=64, width=96, num_depth_bins=D, batch_size=1,
+                 use_pallas=False)
+    model = MALModel(cfg)
+    batch = synthetic_batch(cfg, jax.random.PRNGKey(0), batch_size=1)
+    # converted params must cover the full init structure
+    init_vars = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           jnp.asarray(0.4), jnp.asarray(8.0),
+                           jax.random.PRNGKey(0), train=False)
+    init_paths = set(map(jax.tree_util.keystr,
+                         jax.tree_util.tree_flatten_with_path(init_vars["params"])[0][0:None]))
+    conv_paths = set(map(jax.tree_util.keystr,
+                         jax.tree_util.tree_flatten_with_path(params)[0][0:None]))
+    conv_paths = {p for p, _ in
+                  [(jax.tree_util.keystr(k), v) for k, v in
+                   jax.tree_util.tree_flatten_with_path(params)[0]]}
+    init_paths = {jax.tree_util.keystr(k) for k, _ in
+                  jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    assert conv_paths == init_paths, (
+        sorted(init_paths - conv_paths)[:5], sorted(conv_paths - init_paths)[:5])
+
+    out = model.apply({"params": params, "batch_stats": stats}, batch,
+                      jnp.asarray(float(extras["min_depth_bin"])),
+                      jnp.asarray(float(extras["max_depth_bin"])),
+                      method=MALModel.eval_forward, mutable=False)
+    assert out["disp"].shape == (1, 64, 96, 1)
+    assert bool(jnp.isfinite(out["disp"]).all())
+    assert bool(jnp.isfinite(out["mono_disp"]).all())

@@ -81,6 +81,10 @@ class Config:
     # --- precision / performance ---
     compute_dtype: str = "float32"   # float32 | bfloat16
     use_pallas: bool = True          # use Pallas kernels where available
+    # MXU precision of the Pallas plane-sweep interpolation matmuls:
+    # "highest" = exact fp32 parity (69 ms), "default" = bf16 (~1e-3 cost
+    # error, 41 ms); see benchmarks/HISTORY.md.
+    cv_mxu_precision: str = "highest"
     remat: bool = False              # jax.checkpoint the encoders
 
     # --- parallelism ---

@@ -62,6 +62,7 @@ class ResnetEncoderMatching(nn.Module):
     adaptive_bins: bool = True
     cv_chunk: int = 16
     use_pallas: bool = True  # Pallas plane-sweep kernel on TPU (3.9x faster)
+    cv_mxu_precision: str = "highest"
     dtype: Any = None
 
     def setup(self):
@@ -99,7 +100,7 @@ class ResnetEncoderMatching(nn.Module):
                 plane_sweep_cost_volume_pallas)
             cost_volume, missing_mask = plane_sweep_cost_volume_pallas(
                 jax.lax.stop_gradient(cur_feats), lookup_feats, poses, K,
-                invK, depth_bins)
+                invK, depth_bins, mxu_precision=self.cv_mxu_precision)
         else:
             cost_volume, missing_mask = plane_sweep_cost_volume(
                 jax.lax.stop_gradient(cur_feats), lookup_feats, poses, K, invK,

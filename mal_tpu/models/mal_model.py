@@ -46,6 +46,7 @@ class MALModel(nn.Module):
             depth_binning=cfg.depth_binning,
             adaptive_bins=cfg.adaptive_bins,
             use_pallas=cfg.use_pallas,
+            cv_mxu_precision=cfg.cv_mxu_precision,
             dtype=dtype,
             name="encoder",
         )

@@ -18,4 +18,17 @@ the MAL temporal / distillation hints — built TPU-first:
 __version__ = "0.1.0"
 
 from mal_tpu import geometry, losses  # noqa: F401
-from mal_tpu.config import Config  # noqa: F401
+from mal_tpu.config import Config, PRESETS  # noqa: F401
+
+# Subpackage map (lazy imports to keep `import mal_tpu` light):
+#   mal_tpu.models    — ManyDepth+MAL networks (MALModel flagship)
+#   mal_tpu.dynamic   — DynamicDepth configuration (DOMD, occlusion CV)
+#   mal_tpu.dualref   — DualRefine configuration (DEQ refinement)
+#   mal_tpu.segment   — Mask2Former front-end + instance matching
+#   mal_tpu.temporal  — MAL temporal hint (dynamic-object synthesis)
+#   mal_tpu.train     — jit train steps, TrainState, host Trainer
+#   mal_tpu.parallel  — device mesh / data parallelism
+#   mal_tpu.ops       — grid_sample, SSIM, cost volume (+ Pallas kernels)
+#   mal_tpu.data      — KITTI/CityScapes/DDAD loaders, native IO runtime
+#   mal_tpu.eval      — reference evaluation protocol + metrics
+#   mal_tpu.convert   — reference .pth checkpoint converters

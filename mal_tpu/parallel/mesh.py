@@ -24,6 +24,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh({num_devices}) but only {len(devices)} "
+                f"{devices[0].platform} device(s) are visible; refusing to "
+                f"build a smaller mesh silently")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
 

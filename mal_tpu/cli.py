@@ -58,38 +58,69 @@ def cmd_train(args):
     trainer.train()
 
 
-def cmd_eval(args):
-    cfg = PRESETS[args.preset]
-    cfg = _apply_overrides(cfg, args.set or [])
-    import jax
-
-    from mal_tpu.eval.evaluate import evaluate_depth_maps, infer_disparities
-    from mal_tpu.models import MALModel
-
-    if args.ckpt.endswith(".pth") or os.path.isdir(args.ckpt) and \
-            any(f.endswith(".pth") for f in os.listdir(args.ckpt)):
-        from mal_tpu.convert import convert_mal_checkpoint_dir
-        params, stats, extras = convert_mal_checkpoint_dir(args.ckpt)
-        variables = {"params": params, "batch_stats": stats}
-        min_bin = float(extras.get("min_depth_bin", 0.1))
-        max_bin = float(extras.get("max_depth_bin", 10.0))
-    else:
-        raise SystemExit("orbax checkpoint eval: use mal_tpu.train.trainer")
-
-    # eval loader
+def _build_eval_loader(cfg: Config, data_path: str):
+    from mal_tpu.data.cityscapes import CityscapesEvalDataset
     from mal_tpu.data.kitti import KITTIRAWDataset
     from mal_tpu.data.mono_dataset import DataLoader
     from mal_tpu.utils.misc import readlines
 
     files = readlines(os.path.join("splits", cfg.eval_split, "test_files.txt"))
-    ds = KITTIRAWDataset(args.data_path, files, cfg.height, cfg.width,
-                         [0, -1], is_train=False,
-                         img_ext=".png" if cfg.png else ".jpg")
-    loader = DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False)
+    if cfg.eval_split == "cityscapes":
+        ds = CityscapesEvalDataset(data_path, files, cfg.height, cfg.width,
+                                   [0, -1], is_train=False)
+    else:
+        ds = KITTIRAWDataset(data_path, files, cfg.height, cfg.width,
+                             [0, -1], is_train=False,
+                             img_ext=".png" if cfg.png else ".jpg")
+    return DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False)
 
-    model = MALModel(cfg)
-    disps = infer_disparities(model, variables, iter(loader), cfg,
-                              min_depth_bin=min_bin, max_depth_bin=max_bin)
+
+def cmd_eval(args):
+    cfg = PRESETS[args.preset]
+    cfg = _apply_overrides(cfg, args.set or [])
+
+    from mal_tpu.eval.evaluate import evaluate_depth_maps, infer_disparities
+
+    is_pth = args.ckpt.endswith(".pth") or (
+        os.path.isdir(args.ckpt)
+        and any(f.endswith(".pth") for f in os.listdir(args.ckpt)))
+    if not is_pth:
+        raise SystemExit("orbax checkpoint eval: use mal_tpu.train.trainer")
+
+    loader = _build_eval_loader(cfg, args.data_path)
+
+    if cfg.method == "dualrefine":
+        from mal_tpu.convert import convert_dualrefine_checkpoint_dir
+        from mal_tpu.dualref.evaluate import infer_disparities_dualref
+        from mal_tpu.dualref.model import DEQDepthPose
+
+        folder = args.ckpt if os.path.isdir(args.ckpt) else \
+            os.path.dirname(args.ckpt)
+        params, stats, extras = convert_dualrefine_checkpoint_dir(folder)
+        if "height" in extras:
+            cfg = cfg.replace(height=int(extras["height"]),
+                              width=int(extras["width"]))
+            loader = _build_eval_loader(cfg, args.data_path)
+        model = DEQDepthPose(cfg)
+        variables = {"params": params, "batch_stats": stats}
+        disps = infer_disparities_dualref(model, variables, iter(loader), cfg)
+    elif cfg.method == "dynamicdepth":
+        from mal_tpu.dynamic.evaluate import run_dynamic_eval
+        results = run_dynamic_eval(cfg, args.ckpt, loader, args.gt)
+        print(json.dumps(results, indent=2))
+        return
+    else:
+        from mal_tpu.convert import convert_mal_checkpoint_dir
+        from mal_tpu.models import MALModel
+
+        params, stats, extras = convert_mal_checkpoint_dir(args.ckpt)
+        variables = {"params": params, "batch_stats": stats}
+        min_bin = float(extras.get("min_depth_bin", 0.1))
+        max_bin = float(extras.get("max_depth_bin", 10.0))
+        model = MALModel(cfg)
+        disps = infer_disparities(model, variables, iter(loader), cfg,
+                                  min_depth_bin=min_bin, max_depth_bin=max_bin)
+
     gt = np.load(args.gt, fix_imports=True, encoding="latin1",
                  allow_pickle=True)["data"]
     results = evaluate_depth_maps(disps, gt, eval_split=cfg.eval_split)

@@ -100,15 +100,19 @@ class Config:
     num_workers: int = 8
 
     # --- dynamicdepth options (occlusion-aware cost volume / DOMD warp) ---
+    # pool radius/threshold defaults follow the reference CLI defaults
+    # (`dynamicdepth/options.py:312-319`), not the dead kwarg defaults in
+    # `networks/resnet_encoder.py:281`.
     cv_min: bool = False
     cv_set_1: bool = False
     cv_pool: bool = False
-    cv_pool_radius: int = 2
-    cv_pool_th: float = 0.15
+    cv_pool_radius: int = 1
+    cv_pool_th: float = 0.7
     no_teacher_warp: bool = False
 
     # --- dualrefine options (DEQ refinement) ---
     # defaults mirror `dualrefine/options.py:142-230`
+    deq_solver: str = "anderson"  # --f_solver: anderson | iteration
     deq_iters: int = 6            # --f_thres
     deq_eval_factor: float = 1.0  # --eval_factor
     corr_radius: int = 8

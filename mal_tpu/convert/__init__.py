@@ -7,3 +7,7 @@ from mal_tpu.convert.torch_weights import (  # noqa: F401
     convert_mal_checkpoint_dir,
     load_pth,
 )
+from mal_tpu.convert.dualref import (  # noqa: F401
+    convert_depth_pose,
+    convert_dualrefine_checkpoint_dir,
+)

@@ -41,19 +41,40 @@ Array = jax.Array
 
 
 class _ResidualBlockIN(nn.Module):
-    """RAFT ResidualBlock with instance norm (`extractor.py`)."""
+    """RAFT ResidualBlock with instance norm (`extractor.py:6-57`).
+
+    torch `nn.InstanceNorm2d(planes)` defaults to affine=False, eps=1e-5 —
+    no learnable norm parameters, so the state dict carries conv weights
+    only (matters for `depth_pose.pth` conversion)."""
     filters: int
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        inorm = lambda name: nn.GroupNorm(num_groups=None, group_size=1,
+                                          use_scale=False, use_bias=False,
+                                          epsilon=1e-5, name=name)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
-        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm1")(y)
-        y = nn.relu(y)
+        y = nn.relu(inorm("norm1")(y))
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
-        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm2")(y)
-        y = nn.relu(y)
+        y = nn.relu(inorm("norm2")(y))
         if x.shape[-1] != self.filters:
             x = nn.Conv(self.filters, (1, 1), name="proj")(x)
+        return nn.relu(x + y)
+
+
+class _ResidualBlockBN(nn.Module):
+    """RAFT ResidualBlock with batch norm (`extractor.py`, norm_fn='batch' —
+    the default for `PoseUpdate._make_layer`, `utils/utils.py:284-291`)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5, name=name)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = nn.relu(bn("norm1")(y))
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.relu(bn("norm2")(y))
         return nn.relu(x + y)
 
 
@@ -69,13 +90,14 @@ class _FeatHead(nn.Module):
 
 
 class _PoseWeights(nn.Module):
-    """PoseUpdate's uncertainty head (`utils.py:272-278`)."""
+    """PoseUpdate's uncertainty head (`utils/utils.py:272-276`): two
+    batch-norm ResidualBlocks + bias-free 1x1 conv + ReLU."""
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         c = x.shape[-1]
-        y = _ResidualBlockIN(c, name="blk1")(x)
-        y = _ResidualBlockIN(c, name="blk2")(y)
+        y = _ResidualBlockBN(c, name="blk1")(x, train=train)
+        y = _ResidualBlockBN(c, name="blk2")(y, train=train)
         return nn.relu(nn.Conv(1, (1, 1), use_bias=False, name="out")(y))
 
 
@@ -91,7 +113,8 @@ class DEQDepthPose(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.hidden_dim = 96
+        # `depth_pose.py:44-45`: hdim = cdim = 64
+        self.hidden_dim = 64
         self.context_dim = 64
         self.trunk = HRNet(base_width=18 if cfg.num_layers == 18 else cfg.num_layers,
                            name="cnet")
@@ -118,8 +141,14 @@ class DEQDepthPose(nn.Module):
     def _initial_pose(self, image1: Array, image2: Array, invert: bool,
                       side: int, train: bool) -> Array:
         pair = [image2, image1] if invert else [image1, image2]
-        feats = self.pose_trunks[side](
-            jnp.concatenate(pair, axis=-1), train=train)
+        x = jnp.concatenate(pair, axis=-1)
+        if self.is_initializing():
+            # touch every side's net so checkpoint conversion finds all
+            # 3 pose nets (`depth_pose.py:153-172`), not just the traced one
+            for s in range(3):
+                if s != side:
+                    self.pose_heads[s](self.pose_trunks[s](x, train=train)[-1])
+        feats = self.pose_trunks[side](x, train=train)
         aa, t = self.pose_heads[side](feats[-1])
         return geometry.transformation_from_parameters(
             aa[:, 0, 0], t[:, 0, 0], invert=invert)
@@ -165,8 +194,8 @@ class DEQDepthPose(nn.Module):
         K2 = geometry.scale_intrinsics(K_full, 2)
 
         # uncertainty weights for the GN pose update (`utils.py:291-298`)
-        src_w = 1.0 / (1.0 + self.pose_weights(taps1["stem2"]))
-        tgt_w = 1.0 / (1.0 + self.pose_weights(taps2["stem2"]))
+        src_w = 1.0 / (1.0 + self.pose_weights(taps1["stem2"], train=train))
+        tgt_w = 1.0 / (1.0 + self.pose_weights(taps2["stem2"], train=train))
 
         pose0 = self._initial_pose(im1, im2, invert, side, train)
 
@@ -197,18 +226,56 @@ class DEQDepthPose(nn.Module):
             return DEQState(net, new_depth, pose,
                             jnp.linalg.norm(upd, axis=-1))
 
-        # fixed-iteration solve, trajectory recorded. Unrolled in Python:
-        # num_iters is small and static (f_thres=6 default), and unrolling
-        # lets XLA pipeline the whole refinement into one fused program.
-        state = DEQState(net0, depth0, pose0, jnp.full((B,), jnp.inf))
-        poses_t, upds_t = [], []
+        # Fixed-point solve over the flattened (net, depth) subvector with the
+        # pose as un-mixed auxiliary state — the reference's anderson solve of
+        # `list2vec(net, depth)` with `self.poses` mutated per deq_func call
+        # (`depth_pose.py:417-476,517-530`, `--f_solver anderson` default).
+        # "iteration" is plain damped (Picard) iteration, unrolled: num_iters
+        # is small and static, letting XLA pipeline the whole refinement.
+        # The initial trajectory entry carries update-norm 1.0
+        # (`depth_pose.py:425` seeds poses_updates_hist with ones).
+        state = DEQState(net0, depth0, pose0, jnp.ones((B,)))
+        poses_t = [pose0]
+        upds_t = [jnp.ones((B,))]
         solve_state = jax.tree.map(lax.stop_gradient, state) if train else state
-        for _ in range(num_iters):
-            solve_state = deq_func(solve_state)
+        if cfg.deq_solver == "anderson":
+            from mal_tpu.dualref.solvers import anderson_solver_aux
+
+            h, w = net0.shape[1:3]
+            nch = net0.shape[-1]
+
+            def flatten(net, depth):
+                return jnp.concatenate(
+                    [net.reshape(B, -1), depth.reshape(B, -1)], axis=1)
+
+            def unflatten(z):
+                n = z[:, :h * w * nch].reshape(B, h, w, nch)
+                d = z[:, h * w * nch:].reshape(B, h, w, 1)
+                return n, d
+
+            def vec_f(z, aux):
+                pose, _ = aux
+                net, depth = unflatten(z)
+                new = deq_func(DEQState(net, depth, pose, aux[1]))
+                return (flatten(new.net, new.depth),
+                        (new.pose, new.upd_norm))
+
+            res = anderson_solver_aux(
+                vec_f, flatten(solve_state.net, solve_state.depth),
+                (solve_state.pose, solve_state.upd_norm), steps=num_iters)
             if train:
-                solve_state = jax.tree.map(lax.stop_gradient, solve_state)
-            poses_t.append(solve_state.pose)
-            upds_t.append(solve_state.upd_norm)
+                res = jax.tree.map(lax.stop_gradient, res)
+            n_star, d_star = unflatten(res.result)
+            solve_state = DEQState(n_star, d_star, res.aux[0], res.aux[1])
+            poses_t += list(res.aux_trajectory[0])
+            upds_t += list(res.aux_trajectory[1])
+        else:
+            for _ in range(num_iters):
+                solve_state = deq_func(solve_state)
+                if train:
+                    solve_state = jax.tree.map(lax.stop_gradient, solve_state)
+                poses_t.append(solve_state.pose)
+                upds_t.append(solve_state.upd_norm)
         state_star = solve_state
 
         # pose with the minimum update norm over the trajectory

@@ -12,7 +12,7 @@ iterations from the detached fixed point.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -162,6 +162,88 @@ def broyden_solver(f: Callable, z0: Array, steps: int,
         body, (z0, gz0, Us, Vs), ks)
     traj = _select_trajectory(traj, indexing, steps)
     return SolverResult(z_star, traj, rel_t, abs_t)
+
+
+class AuxSolverResult(NamedTuple):
+    result: Array        # final iterate (B, D)
+    aux: Any             # aux state after the final f evaluation
+    aux_trajectory: Any  # aux emitted at EVERY f evaluation (leading axis T)
+    rel_trace: Array
+    abs_trace: Array
+
+
+def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
+                        m: int = 6, lam: float = 1e-4,
+                        beta: float = 1.0) -> AuxSolverResult:
+    """Anderson acceleration over z with un-mixed auxiliary state.
+
+    Matches the reference's solver usage (`depth_pose.py:517-530` with the
+    DEQ lib's `anderson`): the fixed-point vector is the flattened
+    (net, depth) pair, while the SE(3) pose evolves as a side effect of each
+    `deq_func` evaluation (`depth_pose.py:449-459` mutates `self.poses`) —
+    mixing a rigid transform linearly would leave the manifold, so `aux` is
+    threaded through every f evaluation but never Anderson-mixed.
+
+    `f(z, aux) -> (z_new, aux_new)`. `steps` counts TOTAL f evaluations,
+    like the DEQ lib's `threshold` (2 warmup evals + threshold-2 iterations).
+    """
+    B, D = z0.shape
+    X = jnp.zeros((m, B, D), z0.dtype)
+    F = jnp.zeros((m, B, D), z0.dtype)
+
+    f0, aux = f(z0, aux0)
+    aux_t = [aux]
+    X = X.at[0].set(z0)
+    F = F.at[0].set(f0)
+    f1, aux = f(f0, aux)
+    aux_t.append(aux)
+    X = X.at[1].set(f0)
+    F = F.at[1].set(f1)
+
+    def body(carry, k):
+        X, F, aux = carry
+        n = jnp.minimum(k, m)
+        G = F - X
+        slot_valid = (jnp.arange(m) < n)[:, None]
+        Gm = jnp.where(slot_valid[..., None], G, 0.0)
+        H = jnp.einsum("ibd,jbd->bij", Gm, Gm)
+        H = H + lam * jnp.eye(m, dtype=z0.dtype)
+        eye = jnp.eye(m, dtype=z0.dtype)
+        mask2d = slot_valid[:, 0]
+        H = jnp.where(mask2d[None, :, None] & mask2d[None, None, :], H,
+                      eye[None])
+        rhs = jnp.where(mask2d[None], jnp.ones((1, m), z0.dtype), 0.0)
+        rhs = jnp.broadcast_to(rhs, (B, m))
+        alpha = jnp.linalg.solve(H, rhs[..., None])[..., 0]
+        alpha = alpha / (jnp.sum(alpha * mask2d[None], axis=1,
+                                 keepdims=True) + 1e-12)
+        alpha = alpha * mask2d[None]
+
+        z_new = (beta * jnp.einsum("bi,ibd->bd", alpha, F)
+                 + (1 - beta) * jnp.einsum("bi,ibd->bd", alpha, X))
+        f_new, aux_new = f(z_new, aux)
+        a, r = _residuals(f_new, z_new)
+
+        slot = k % m
+        X = X.at[slot].set(z_new)
+        F = F.at[slot].set(f_new)
+        return (X, F, aux_new), (f_new, aux_new, a, r)
+
+    n_scan = max(steps - 2, 0)
+    if n_scan == 0:
+        z_star = f1
+        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
+        zero = jnp.zeros((0,), z0.dtype)
+        return AuxSolverResult(z_star, aux, traj, zero, zero)
+
+    ks = jnp.arange(2, n_scan + 2)
+    (_, _, aux_star), (zs, auxs, abs_t, rel_t) = lax.scan(
+        body, (X, F, aux), ks)
+    z_star = zs[-1]
+    warm = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
+    traj = jax.tree.map(lambda w, s: jnp.concatenate([w, s], axis=0),
+                        warm, auxs)
+    return AuxSolverResult(z_star, aux_star, traj, rel_t, abs_t)
 
 
 def phantom_grad(f: Callable, z_star: Array, steps: int = 1,

@@ -49,7 +49,7 @@ def occlusion_aware_cost_volume(
     lookup_images: Array,  # (B, F, H, W, 3) full-res (post-DOMD)
     aug_mask: Array,       # (B,) 1 where matching was augmented
     cv_min: bool = False, set_1: bool = False, pool: bool = False,
-    pool_r: int = 2, pool_th: float = 0.4,
+    pool_r: int = 1, pool_th: float = 0.7,
     chunk: int = 16, set_missing_to_max: bool = True,
 ):
     """Returns (cost_volume, missing_mask), each (B, D, h, w)."""

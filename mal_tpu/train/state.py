@@ -115,9 +115,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 def create_train_state(cfg: Config, model, rng: Array,
                        sample_inputs: dict) -> TrainState:
     init_rng, aug_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": init_rng}, sample_inputs,
-        jnp.asarray(0.1), jnp.asarray(10.0), aug_rng, train=True)
+    if cfg.method == "dualrefine":
+        variables = model.init(
+            {"params": init_rng}, sample_inputs["color_aug"]["0"],
+            sample_inputs["color_aug"]["-1"], sample_inputs["K"],
+            invert=True, train=True)
+    else:
+        variables = model.init(
+            {"params": init_rng}, sample_inputs,
+            jnp.asarray(0.1), jnp.asarray(10.0), aug_rng, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)

@@ -63,6 +63,9 @@ class Trainer:
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.model import DynDepthModel
             self.model = DynDepthModel(cfg)
+        elif cfg.method == "dualrefine":
+            from mal_tpu.dualref.model import DEQDepthPose
+            self.model = DEQDepthPose(cfg)
         else:
             self.model = MALModel(cfg)
         self.tx = make_optimizer(cfg)
@@ -79,16 +82,28 @@ class Trainer:
         if cfg.temporal or cfg.main_temporal:
             from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
             self.seg_model = Mask2Former(max_instances=cfg.max_instances)
-            seg_vars = seg_variables if seg_variables is not None else \
-                self.seg_model.init(jax.random.PRNGKey(1),
-                                    jnp.zeros((1, cfg.height, cfg.width, 3)))
-            seg_fn = make_seg_fn(self.seg_model, seg_vars, cfg.max_instances,
-                                 mask_threshold=0.0)
+            if seg_variables is None:
+                # The reference always builds the segmenter from pretrained
+                # COCO weights (`manydepth/options.py:288-295`); an untrained
+                # Mask2Former synthesizes garbage hints, so refuse rather
+                # than silently degrade. Convert a checkpoint with
+                # `mal_tpu.convert.mask2former` and pass `seg_variables`.
+                raise ValueError(
+                    "cfg.temporal/main_temporal requires pretrained "
+                    "Mask2Former weights: pass seg_variables (see "
+                    "mal_tpu.convert.mask2former.convert_mask2former_pkl); "
+                    "random-init segmentation would make the temporal hint "
+                    "synthesize noise")
+            seg_fn = make_seg_fn(self.seg_model, seg_variables,
+                                 cfg.max_instances, mask_threshold=0.0)
 
         self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.step import make_dynamic_train_step
             raw_step = make_dynamic_train_step(cfg, self.model, self.tx)
+        elif cfg.method == "dualrefine":
+            from mal_tpu.dualref.step import make_dualref_train_step
+            raw_step = make_dualref_train_step(cfg, self.model, self.tx)
         else:
             raw_step = make_train_step(cfg, self.model, self.tx, seg_fn=seg_fn)
         self.step_fn = data_parallel_step(raw_step, self.mesh)
@@ -154,10 +169,15 @@ class Trainer:
         """Full eval-split validation (`manydepth/trainer.py:836-1064`)."""
         state = jax.device_get(self.state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        disps = infer_disparities(
-            self.model, variables, self.val_batches, self.cfg,
-            min_depth_bin=state.bins.min_depth,
-            max_depth_bin=state.bins.max_depth)
+        if self.cfg.method == "dualrefine":
+            from mal_tpu.dualref.evaluate import infer_disparities_dualref
+            disps = infer_disparities_dualref(
+                self.model, variables, self.val_batches, self.cfg)
+        else:
+            disps = infer_disparities(
+                self.model, variables, self.val_batches, self.cfg,
+                min_depth_bin=state.bins.min_depth,
+                max_depth_bin=state.bins.max_depth)
         if self.gt_depths is None:
             return {"n_images": float(len(disps))}
         return evaluate_depth_maps(disps, self.gt_depths,

@@ -11,3 +11,7 @@ from mal_tpu.convert.dualref import (  # noqa: F401
     convert_depth_pose,
     convert_dualrefine_checkpoint_dir,
 )
+from mal_tpu.convert.mask2former import (  # noqa: F401
+    convert_mask2former_pkl,
+    convert_mask2former_state,
+)

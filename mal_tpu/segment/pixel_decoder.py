@@ -127,6 +127,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
                                                 padding=((1, 1), (1, 1)),
                                                 use_bias=False,
                                                 name="fpn_conv")(fused)))
-        mask_features = nn.Conv(self.mask_dim, (3, 3), padding=((1, 1), (1, 1)),
+        # 1x1 conv, matching the reference (`msdeformattn.py:245-251`)
+        mask_features = nn.Conv(self.mask_dim, (1, 1),
                                 name="mask_features")(fused)
         return mask_features, outs

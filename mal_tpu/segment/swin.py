@@ -122,7 +122,7 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(C, name="mlp_fc2")(y)
         return x + y
 
@@ -145,8 +145,11 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
-        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        # channel order must match the official Swin's cat([x0, x1, x2, x3])
+        # = [(0,0), (1,0), (0,1), (1,1)] row/col parities, or converted
+        # `reduction`/`norm` weights would be silently permuted
+        x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = nn.LayerNorm(name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
 

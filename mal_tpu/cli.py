@@ -58,7 +58,9 @@ def cmd_train(args):
     trainer.train()
 
 
-def _build_eval_loader(cfg: Config, data_path: str):
+def _build_eval_loader(cfg: Config, data_path: str, frames=(0, -1),
+                       doj_root: str | None = None,
+                       batch_size: int | None = None):
     from mal_tpu.data.cityscapes import CityscapesEvalDataset
     from mal_tpu.data.kitti import KITTIRAWDataset
     from mal_tpu.data.mono_dataset import DataLoader
@@ -67,12 +69,16 @@ def _build_eval_loader(cfg: Config, data_path: str):
     files = readlines(os.path.join("splits", cfg.eval_split, "test_files.txt"))
     if cfg.eval_split == "cityscapes":
         ds = CityscapesEvalDataset(data_path, files, cfg.height, cfg.width,
-                                   [0, -1], is_train=False)
+                                   list(frames), is_train=False)
     else:
         ds = KITTIRAWDataset(data_path, files, cfg.height, cfg.width,
-                             [0, -1], is_train=False,
+                             list(frames), is_train=False,
                              img_ext=".png" if cfg.png else ".jpg")
-    return DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False)
+    if doj_root:
+        from mal_tpu.data.doj import attach_doj_masks
+        ds = attach_doj_masks(ds, doj_root)
+    return DataLoader(ds, batch_size or cfg.batch_size, shuffle=False,
+                      drop_last=False)
 
 
 def cmd_eval(args):
@@ -105,7 +111,11 @@ def cmd_eval(args):
         variables = {"params": params, "batch_stats": stats}
         disps = infer_disparities_dualref(model, variables, iter(loader), cfg)
     elif cfg.method == "dynamicdepth":
+        # the reference's eval_mode accumulates GT/doj per batch index with
+        # batch size 1 (`dynamicdepth/trainer.py:1177,1228-1230`)
         from mal_tpu.dynamic.evaluate import run_dynamic_eval
+        loader = _build_eval_loader(cfg, args.data_path, frames=(0, -1, 1),
+                                    doj_root=args.doj_root, batch_size=1)
         results = run_dynamic_eval(cfg, args.ckpt, loader, args.gt)
         print(json.dumps(results, indent=2))
         return
@@ -142,6 +152,8 @@ def main(argv=None):
     pe.add_argument("--data_path", required=True)
     pe.add_argument("--ckpt", required=True)
     pe.add_argument("--gt", required=True)
+    pe.add_argument("--doj_root", default=None,
+                    help="dynamic-object mask dir (method=dynamicdepth)")
     pe.add_argument("--set", nargs="*")
     pe.set_defaults(fn=cmd_eval)
 

@@ -53,6 +53,35 @@ def _photometric_warps(cfg: Config, batch, outputs, depth, detach_T: bool):
     return warped
 
 
+def _all_photometric_warps(cfg: Config, batch, outputs, depth_specs):
+    """All photometric warps for the step in ONE batched gather.
+
+    depth_specs: list of (depth, detach_T) — e.g. mono, multi, ensemble
+    (`manydepth/trainer.py:1111-1125` does 2 warps per set sequentially; the
+    gather is index-rate-bound on TPU, so stacking every (set x frame) pair
+    along the batch axis lets XLA tile one big gather instead of six).
+    Returns one list of per-frame warps per spec.
+    """
+    B, H, W, _ = batch["color"]["0"].shape
+    frames = [str(f) for f in cfg.frame_ids[1:]]
+    srcs, grids = [], []
+    for depth, detach in depth_specs:
+        points = geometry.backproject(depth[..., 0], batch["inv_K"], H, W)
+        for f in cfg.frame_ids[1:]:
+            T = outputs[f"cam_T_cam/0/{f}"]
+            if detach:
+                T = jax.lax.stop_gradient(T)
+            grids.append(geometry.project_3d(points, batch["K"], T, H, W))
+            srcs.append(batch["color"][str(f)])
+    big = grid_sample(jnp.concatenate(srcs, axis=0),
+                      jnp.concatenate(grids, axis=0),
+                      padding_mode="border", align_corners=True)
+    per = big.reshape(len(srcs), B, H, W, big.shape[-1])
+    nf = len(frames)
+    return [[per[s * nf + i] for i in range(nf)]
+            for s in range(len(depth_specs))]
+
+
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                     seg_fn: Callable | None = None) -> Callable:
     """Build the jit-able train step for a given config/model/optimizer.
@@ -95,11 +124,24 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             color0 = batch["color"]["0"]
             identity = [batch["color"][str(f)] for f in cfg.frame_ids[1:]]
 
-            # --- teacher ---
             _, mono_depth = geometry.disp_to_depth(
                 outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
-            mono_warped = _photometric_warps(cfg, batch, outputs, mono_depth,
-                                             detach_T=False)
+            _, multi_depth = geometry.disp_to_depth(
+                outputs["disp"], cfg.min_depth, cfg.max_depth)
+
+            # one batched gather for every (depth-set x frame) warp
+            depth_specs = [(mono_depth, False), (multi_depth, True)]
+            use_ens = cfg.distil and cfg.use_ensemble
+            if use_ens:
+                disp_ens = jax.lax.stop_gradient(
+                    (outputs["mono_disp"] + outputs["disp"]) / 2.0)
+                _, ens_depth = geometry.disp_to_depth(
+                    disp_ens, cfg.min_depth, cfg.max_depth)
+                depth_specs.append((ens_depth, True))
+            warps = _all_photometric_warps(cfg, batch, outputs, depth_specs)
+            mono_warped, multi_warped = warps[0], warps[1]
+
+            # --- teacher ---
             mono_syn = temporal_syn(batch, mono_warped) if cfg.temporal else ()
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0, mono_warped,
@@ -107,25 +149,14 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                 smoothness_weight=cfg.disparity_smoothness)
 
             # --- student ---
-            _, multi_depth = geometry.disp_to_depth(
-                outputs["disp"], cfg.min_depth, cfg.max_depth)
-            multi_warped = _photometric_warps(cfg, batch, outputs, multi_depth,
-                                              detach_T=True)
-
             mono_depth_sg = jax.lax.stop_gradient(mono_depth)
             cmask = outputs["consistency_mask"] * losses.matching_mask(
                 mono_depth_sg, outputs["lowest_cost"])
 
             ens_reproj = None
-            if cfg.distil and cfg.use_ensemble:
-                disp_ens = jax.lax.stop_gradient(
-                    (outputs["mono_disp"] + outputs["disp"]) / 2.0)
-                _, ens_depth = geometry.disp_to_depth(
-                    disp_ens, cfg.min_depth, cfg.max_depth)
-                ens_warped = _photometric_warps(cfg, batch, outputs, ens_depth,
-                                                detach_T=True)
+            if use_ens:
                 ens_reproj = jax.lax.stop_gradient(
-                    losses.min_reprojection(ens_warped, color0))
+                    losses.min_reprojection(warps[2], color0))
 
             multi_syn = (temporal_syn(batch, multi_warped)
                          if cfg.main_temporal else ())

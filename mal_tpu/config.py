@@ -109,6 +109,16 @@ class Config:
     cv_pool_radius: int = 1
     cv_pool_th: float = 0.7
     no_teacher_warp: bool = False
+    # feature-metric loss family (`dynamicdepth/options.py:142-154`,
+    # `trainer.py:1123-1156`)
+    feat_loss: bool = False
+    feat_dis: float = 0.01
+    feat_cvt: float = 0.01
+    # reprojection variants + teacher-only training
+    # (`dynamicdepth/options.py:298-303`, `trainer.py:138-141,955-963,1058-1065`)
+    selec_reproj: bool = False
+    zero_img: bool = False
+    train_teacher_only: bool = False
 
     # --- dualrefine options (DEQ refinement) ---
     # defaults mirror `dualrefine/options.py:142-230`

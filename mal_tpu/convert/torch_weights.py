@@ -149,6 +149,18 @@ def convert_pose_decoder(sd: Mapping[str, np.ndarray]) -> dict:
             for i, name in enumerate(names)}
 
 
+def convert_pose_dyj(sd: Mapping[str, np.ndarray],
+                     num_layers: int = 18) -> tuple[dict, dict]:
+    """`ResnetEncoderDYJ` (`resnet_encoder.py:400-476`): multi-image resnet
+    trunk + net=[squeeze, pose0, pose1, pose2] conv head."""
+    tp, ts = convert_resnet_trunk(sd, num_layers, prefix="encoder.")
+    params: dict[str, Any] = {"encoder": tp}
+    for i, name in enumerate(["squeeze", "pose_0", "pose_1", "pose_2"]):
+        params[name] = {"kernel": _conv(_take(sd, f"net.{i}.weight")),
+                        "bias": _take(sd, f"net.{i}.bias")}
+    return params, {"encoder": ts}
+
+
 def convert_pose_cnn(sd: Mapping[str, np.ndarray]) -> dict:
     params = {f"conv_{i}": {"kernel": _conv(_take(sd, f"net.{i}.weight")),
                             "bias": _take(sd, f"net.{i}.bias")}

@@ -143,7 +143,11 @@ class DynDepthModel(nn.Module):
         fused = nn.relu(self.reduce_conv(jnp.concatenate(
             [cur_feats, jnp.moveaxis(cost, 1, -1)], axis=-1)))
         deep = self.trunk(fused, train=train, stages=5, start_stage=2)
-        outputs["disp"] = self.depth(feats + deep)
+        features = feats + deep
+        # 1/4-res encoder feature tap for the feature-metric loss
+        # (`dynamicdepth/trainer.py:594`: outputs["feat"] = features[-4])
+        outputs["feat"] = features[-4]
+        outputs["disp"] = self.depth(features)
         return outputs
 
 

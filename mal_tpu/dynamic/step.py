@@ -54,11 +54,14 @@ def make_dynamic_train_step(cfg: Config, model,
                                           batch["inv_K"]))
                 return out
 
+            reproj_fn = (losses.reprojection_loss_zero_img if cfg.zero_img
+                         else losses.reprojection_loss)
             identity = [adj[f] for f in cfg.frame_ids[1:]]
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0,
                 warps(mono_depth, False), identity,
-                smoothness_weight=cfg.disparity_smoothness)
+                smoothness_weight=cfg.disparity_smoothness,
+                reproj_fn=reproj_fn, selec_reproj=cfg.selec_reproj)
 
             mono_depth_sg = jax.lax.stop_gradient(mono_depth)
             cmask = outputs["consistency_mask"] * losses.matching_mask(
@@ -69,13 +72,19 @@ def make_dynamic_train_step(cfg: Config, model,
                 outputs["augmentation_mask"],
                 jax.lax.stop_gradient(mono_out.min_reproj),
                 ensemble_min_reproj=None,
-                smoothness_weight=cfg.disparity_smoothness)
+                smoothness_weight=cfg.disparity_smoothness,
+                reproj_fn=reproj_fn, selec_reproj=cfg.selec_reproj)
 
             total = multi_out.loss
             if train_teacher:
                 total = total + mono_out.loss
             if cfg.distil:
                 total = total + multi_out.distil_loss
+            feat_l = jnp.zeros(())
+            if cfg.feat_loss:
+                feat_l = losses.feature_metric_loss(
+                    outputs["feat"], color0, cfg.feat_dis, cfg.feat_cvt)
+                total = total + feat_l
 
             aux = {"batch_stats": mutated["batch_stats"],
                    "mono_depth": mono_depth_sg,
@@ -85,6 +94,7 @@ def make_dynamic_train_step(cfg: Config, model,
                        "multi_reproj": multi_out.reproj_loss,
                        "consistency_loss": multi_out.consistency_loss,
                        "distil_loss": multi_out.distil_loss,
+                       "feat_loss": feat_l,
                    }}
             return total, aux
 

@@ -33,6 +33,72 @@ def reprojection_loss(pred: Array, target: Array) -> Array:
     return 0.85 * s + 0.15 * l1
 
 
+def reprojection_loss_zero_img(pred: Array, target: Array) -> Array:
+    """`--zero_img` variant (`dynamicdepth/trainer.py:955-963`): where the
+    warped prediction is black (sum over channels < 0.1 — DOMD-blanked
+    pixels), zero both pred and target so those pixels contribute no loss."""
+    black = (jnp.sum(pred, axis=-1, keepdims=True) < 0.1)
+    black = jax.lax.stop_gradient(black)
+    return reprojection_loss(jnp.where(black, 0.0, pred),
+                             jnp.where(black, 0.0, target))
+
+
+def apply_selec_reproj(reproj_all: Array, warped: Sequence[Array]) -> Array:
+    """`--selec_reproj` (`dynamicdepth/trainer.py:1058-1065`): per-pixel min
+    reprojection, except where one warped frame is black use the *other*
+    frame's loss, and where both are black use 0.
+
+    reproj_all: (B, H, W, F) stacked per-frame losses; warped: the F warped
+    frames (F must be 2: the reference hardcodes frames {-1, +1})."""
+    assert reproj_all.shape[-1] == 2 and len(warped) == 2
+    m0 = jax.lax.stop_gradient(
+        jnp.sum(warped[0], axis=-1, keepdims=True) < 0.1)
+    m1 = jax.lax.stop_gradient(
+        jnp.sum(warped[1], axis=-1, keepdims=True) < 0.1)
+    out = jnp.min(reproj_all, axis=-1, keepdims=True)
+    out = jnp.where(m0, reproj_all[..., 1:2], out)
+    out = jnp.where(m1, reproj_all[..., 0:1], out)
+    return jnp.where(m0 & m1, 0.0, out)
+
+
+def feature_metric_loss(feature: Array, img: Array,
+                        feat_dis: float = 0.01,
+                        feat_cvt: float = 0.01) -> Array:
+    """DynamicDepth feature-metric loss (`dynamicdepth/trainer.py:1135-1156`):
+    -feat_dis * first-order + feat_cvt * second-order edge-weighted feature
+    smoothness (encourages discriminative yet locally-smooth features).
+
+    feature: (B, h, w, C); img: (B, H, W, 3) resized here with area
+    (average-pool) interpolation like the reference's F.interpolate 'area'."""
+    B, h, w, _ = feature.shape
+    H, W = img.shape[1:3]
+    if H % h == 0 and W % w == 0:
+        fy, fx = H // h, W // w
+        img_s = jnp.mean(img.reshape(B, h, fy, w, fx, -1), axis=(2, 4))
+    else:
+        from mal_tpu.ops.interp import resize_bilinear
+        img_s = resize_bilinear(img, h, w)
+
+    def grad(x):
+        return x[:, :, 1:] - x[:, :, :-1], x[:, 1:] - x[:, :-1]
+
+    def term(f_g, i_g):
+        return jnp.mean(jnp.abs(f_g) * jnp.exp(
+            -jnp.mean(jnp.abs(i_g), axis=-1, keepdims=True)))
+
+    f_dx, f_dy = grad(feature)
+    i_dx, i_dy = grad(img_s)
+    smooth1 = term(f_dx, i_dx) + term(f_dy, i_dy)
+
+    f_dxx, f_dxy = grad(f_dx)
+    f_dyx, f_dyy = grad(f_dy)
+    i_dxx, i_dxy = grad(i_dx)
+    i_dyx, i_dyy = grad(i_dy)
+    smooth2 = (term(f_dxx, i_dxx) + term(f_dxy, i_dxy)
+               + term(f_dyx, i_dyx) + term(f_dyy, i_dyy))
+    return -feat_dis * smooth1 + feat_cvt * smooth2
+
+
 def smooth_loss(disp: Array, img: Array) -> Array:
     """Edge-aware smoothness on (mean-normalized) disparity. Scalar."""
     grad_disp_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
@@ -78,13 +144,18 @@ def mono_losses(
     identity: Sequence[Array],    # raw adjacent frames (automask)
     syn: Sequence[Array] = (),    # MAL temporal-hint synthesized frames
     smoothness_weight: float = 1e-3,
+    reproj_fn=reprojection_loss,
+    selec_reproj: bool = False,
 ) -> MonoLossOut:
     """Teacher losses. Reference: `manydepth/loss_utils.py:57-129`."""
-    reproj_all = [reprojection_loss(p, color) for p in list(warped) + list(syn)]
+    reproj_all = [reproj_fn(p, color) for p in list(warped) + list(syn)]
     reproj_all = jnp.concatenate(reproj_all, axis=-1)
-    reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
+    if selec_reproj and not syn:
+        reproj_min = apply_selec_reproj(reproj_all, list(warped))
+    else:
+        reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
 
-    ident = jnp.concatenate([reprojection_loss(p, color) for p in identity], -1)
+    ident = jnp.concatenate([reproj_fn(p, color) for p in identity], -1)
     ident_min = jnp.min(ident, axis=-1, keepdims=True)
     noise = jax.random.normal(rng, ident_min.shape, ident_min.dtype) * 1e-5
     mask = automask(reproj_min, ident_min + noise)
@@ -118,6 +189,8 @@ def multi_losses(
     ensemble_depth: Array | None = None,
     dual_distil_mono_depth: Array | None = None,  # non-detached teacher depth
     smoothness_weight: float = 1e-3,
+    reproj_fn=reprojection_loss,
+    selec_reproj: bool = False,
 ) -> MultiLossOut:
     """Student losses + MAL distillation hint.
 
@@ -126,9 +199,12 @@ def multi_losses(
     gates the teacher-consistency loss; the distillation target is the
     per-pixel argmin over {mono, ensemble, multi} reprojection errors.
     """
-    reproj_all = [reprojection_loss(p, color) for p in list(warped) + list(syn)]
+    reproj_all = [reproj_fn(p, color) for p in list(warped) + list(syn)]
     reproj_all = jnp.concatenate(reproj_all, axis=-1)
-    multi_min_reproj = jnp.min(reproj_all, axis=-1, keepdims=True)
+    if selec_reproj and not syn:
+        multi_min_reproj = apply_selec_reproj(reproj_all, list(warped))
+    else:
+        multi_min_reproj = jnp.min(reproj_all, axis=-1, keepdims=True)
 
     mask = consistency_mask_in[..., None] * (1.0 - augmentation_mask)
     consistency_mask = 1.0 - mask

@@ -47,6 +47,45 @@ class ResnetEncoder(nn.Module):
         return ResNetFeatures(self.num_layers).num_ch_enc
 
 
+class ResnetEncoderDYJ(nn.Module):
+    """Multi-frame stacked pose encoder with a built-in conv pose head
+    (`manydepth/networks/resnet_encoder.py:400-476`, the `pose_attn` eval
+    path at `trainer.py:899-917`).
+
+    Frames stack channel-major (the reference's einops
+    'b c t h w -> b (c t) h w', `:446`), i.e. [R_t0..R_tN, G_t0.., B_t0..],
+    and the head emits (num_input_images - 1) 6-DoF outputs.
+
+    The reference's forward returns the pairs spread as a 4-tuple that its
+    call sites slice inconsistently (`trainer.py:903,916` apply [..., :3] to
+    a (B, 3) tensor); the evident intent — "take the k-th 6-DoF output" — is
+    what `__call__` returns: (axisangle, translation) with shape
+    (B, num_input_images-1, 3) each.
+    """
+    num_layers: int = 18
+    num_input_images: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, frames: Array, train: bool = False):
+        """frames: (B, T, H, W, 3) temporally ordered."""
+        B, T, H, W, C = frames.shape
+        assert T == self.num_input_images
+        x = jnp.moveaxis(frames, 1, -1)          # (B, H, W, 3, T)
+        x = x.reshape(B, H, W, C * T)            # (c t) channel-major order
+        feats = ResNetFeatures(self.num_layers, T, dtype=self.dtype,
+                               name="encoder")(imagenet_normalize(x),
+                                               train=train)
+        out = nn.relu(nn.Conv(256, (1, 1), name="squeeze")(feats[-1]))
+        out = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                              name="pose_0")(out))
+        out = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                              name="pose_1")(out))
+        out = nn.Conv(6 * (T - 1), (1, 1), name="pose_2")(out)
+        out = 0.01 * jnp.mean(out, axis=(1, 2)).reshape(B, T - 1, 6)
+        return out[..., :3], out[..., 3:]
+
+
 class ResnetEncoderMatching(nn.Module):
     """ResNet encoder with a plane-sweep cost volume after stage 2.
 

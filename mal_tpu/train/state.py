@@ -103,6 +103,10 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         frozen += ["mono_encoder", "mono_depth", "pose_encoder", "pose"]
     elif cfg.freeze_pose:
         frozen += ["pose_encoder", "pose"]
+    if getattr(cfg, "train_teacher_only", False):
+        # student (cost-volume encoder + decoder) excluded from training
+        # (`dynamicdepth/trainer.py:138-141`)
+        frozen += ["encoder", "depth", "reduce_conv"]
     if frozen:
         def label_fn(params):
             return {k: ("frozen" if k in frozen else "train")

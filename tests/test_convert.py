@@ -354,3 +354,55 @@ def test_full_checkpoint_dir_conversion(tmp_path):
     assert out["disp"].shape == (1, 64, 96, 1)
     assert bool(jnp.isfinite(out["disp"]).all())
     assert bool(jnp.isfinite(out["mono_disp"]).all())
+
+
+class TorchDYJ(nn.Module):
+    """ResnetEncoderDYJ twin: 9-ch trunk + net=[squeeze,pose0,pose1,pose2]
+    (`resnet_encoder.py:400-476`)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchResNet18()
+        self.encoder.conv1 = nn.Conv2d(9, 64, 7, 2, 3, bias=False)
+        self.net = nn.ModuleList([
+            nn.Conv2d(512, 256, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 12, 1)])
+
+    def forward(self, frames):
+        # frames: (B, 3, T, H, W); einops 'b c t h w -> b (c t) h w'
+        B = frames.shape[0]
+        x = frames.reshape(B, 9, *frames.shape[-2:])
+        x = (x - 0.45) / 0.225
+        f = self.encoder(x)[-1]
+        out = F.relu(self.net[0](f))
+        out = F.relu(self.net[1](out))
+        out = F.relu(self.net[2](out))
+        out = self.net[3](out)
+        out = 0.01 * out.mean(3).mean(2).view(B, 2, 6)
+        return out[..., :3], out[..., 3:]
+
+
+def test_pose_dyj_forward_parity():
+    from mal_tpu.convert.torch_weights import convert_pose_dyj
+    from mal_tpu.models.encoders import ResnetEncoderDYJ
+
+    torch.manual_seed(5)
+    tdyj = TorchDYJ().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tdyj, np.random.RandomState(5))
+    sd = {k: v.numpy() for k, v in tdyj.state_dict().items()}
+    params, stats = convert_pose_dyj(sd)
+
+    rng = np.random.RandomState(6)
+    frames = rng.uniform(0, 1, (2, 3, 64, 96, 3)).astype(np.float32)
+    aa, t = ResnetEncoderDYJ().apply({"params": params, "batch_stats": stats},
+                                     jnp.asarray(frames), train=False)
+
+    # torch layout (B, C, T, H, W), channel-major flatten matches einops
+    tin = torch.from_numpy(frames).permute(0, 4, 1, 2, 3)
+    with torch.no_grad():
+        taa, tt = tdyj(tin)
+    np.testing.assert_allclose(np.asarray(aa), taa.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t), tt.numpy(), atol=1e-5)

@@ -31,7 +31,7 @@ def _apply_overrides(cfg: Config, pairs: list[str]) -> Config:
     return cfg.replace(**updates)
 
 
-def _build_loaders(cfg: Config):
+def _build_loaders(cfg: Config, shard=None):
     from mal_tpu.data.cityscapes import CityscapesPreprocessedDataset
     from mal_tpu.data.kitti import KITTIRAWDataset
     from mal_tpu.data.mono_dataset import DataLoader
@@ -45,15 +45,25 @@ def _build_loaders(cfg: Config):
     ds = ds_cls(cfg.data_path, train_files, cfg.height, cfg.width,
                 cfg.frames_to_load, is_train=True,
                 img_ext=".png" if cfg.png else ".jpg")
-    return DataLoader(ds, cfg.batch_size, shuffle=True, drop_last=True)
+    return DataLoader(ds, cfg.batch_size, shuffle=True, drop_last=True,
+                      shard=shard)
 
 
 def cmd_train(args):
     cfg = PRESETS[args.preset].replace(data_path=args.data_path)
     cfg = _apply_overrides(cfg, args.set or [])
+
+    shard = None
+    if args.coordinator:
+        # multi-host DCN: run this command once per host
+        # (the `accelerate launch --multi_gpu` equivalent, SURVEY.md §2.6)
+        from mal_tpu.parallel import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_hosts, args.host_id)
+        shard = (args.host_id, args.num_hosts)
+
     from mal_tpu.train.trainer import Trainer
 
-    loader = _build_loaders(cfg)
+    loader = _build_loaders(cfg, shard=shard)
     trainer = Trainer(cfg, loader)
     trainer.train()
 
@@ -145,6 +155,10 @@ def main(argv=None):
     pt.add_argument("--preset", default="kitti", choices=list(PRESETS))
     pt.add_argument("--data_path", required=True)
     pt.add_argument("--set", nargs="*", help="config overrides key=value")
+    pt.add_argument("--coordinator", default=None,
+                    help="host0:port for multi-host DCN training")
+    pt.add_argument("--num_hosts", type=int, default=1)
+    pt.add_argument("--host_id", type=int, default=0)
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval")

@@ -4,3 +4,9 @@ from mal_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     data_parallel_step,
 )
+from mal_tpu.parallel.distributed import (  # noqa: F401
+    initialize as initialize_distributed,
+    is_multihost,
+    make_global_mesh,
+    shard_host_batch,
+)

@@ -97,7 +97,18 @@ class Trainer:
             seg_fn = make_seg_fn(self.seg_model, seg_variables,
                                  cfg.max_instances, mask_threshold=0.0)
 
-        self.mesh = make_mesh(num_devices)
+        # multi-host: one process per host (jax.distributed.initialize done
+        # by the caller); the global mesh spans every chip and each host's
+        # loader feeds its own shard (SURVEY.md §2.6)
+        from mal_tpu.parallel import is_multihost
+        self._multihost = is_multihost()
+        if self._multihost:
+            from mal_tpu.parallel import make_global_mesh
+            assert num_devices is None, \
+                "num_devices is per-host only; multi-host uses all devices"
+            self.mesh = make_global_mesh()
+        else:
+            self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.step import make_dynamic_train_step
             raw_step = make_dynamic_train_step(cfg, self.model, self.tx)
@@ -139,7 +150,11 @@ class Trainer:
             else iter(self.train_loader)
         for batch in it:
             self.rng, step_rng = jax.random.split(self.rng)
-            batch = shard_batch(jax.tree.map(jnp.asarray, batch), self.mesh)
+            if self._multihost:
+                from mal_tpu.parallel import shard_host_batch
+                batch = shard_host_batch(batch, self.mesh)
+            else:
+                batch = shard_batch(jax.tree.map(jnp.asarray, batch), self.mesh)
             self.state, metrics = self.step_fn(
                 self.state, batch, replicate(step_rng, self.mesh), epoch_arr)
 

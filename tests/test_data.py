@@ -130,3 +130,38 @@ def test_doj_mask_attachment(kitti_root, tmp_path):
     batch = collate([wrapped[0], wrapped[0]])
     assert batch["doj_mask"].shape == (2, 32, 96)
     assert batch["color"]["0"].shape == (2, 32, 96, 3)
+
+
+def test_ddad_export_sample_roundtrip(tmp_path):
+    """export_sample -> npz -> DDADDataset item (dgp-free path)."""
+    from mal_tpu.data.export_ddad import export_sample
+    from mal_tpu.data.ddad import DDADDataset
+
+    rng = np.random.RandomState(0)
+
+    def datum(with_depth):
+        d = {"rgb": Image.fromarray(
+                 rng.randint(0, 255, (120, 200, 3), np.uint8)),
+             "intrinsics": np.array([[200.0, 0, 100], [0, 120.0, 60],
+                                     [0, 0, 1]], np.float32)}
+        if with_depth:
+            d["depth"] = rng.uniform(1, 200, (120, 200)).astype(np.float32)
+        return d
+
+    context = [[datum(False)], [datum(True)], [datum(False)]]
+    sample = export_sample(context, width=96, height=64)
+    assert sample["color"].shape == (64, 96, 3)
+    # intrinsics scaled to the export resolution
+    np.testing.assert_allclose(sample["K"][0, 0], 200.0 * 96 / 200, rtol=1e-6)
+    np.testing.assert_allclose(sample["K"][1, 1], 120.0 * 64 / 120, rtol=1e-6)
+
+    split_dir = tmp_path / "train"
+    split_dir.mkdir()
+    np.savez_compressed(split_dir / "000000.npz", **sample)
+
+    ds = DDADDataset(str(tmp_path), height=64, width=96, is_train=True)
+    item = ds[0]
+    assert item["color"]["0"].shape == (64, 96, 3)
+    assert item["color"]["-1"].shape == (64, 96, 3)
+    assert item["depth_gt"].shape == (120, 200)
+    np.testing.assert_allclose(item["K"][0, 0], sample["K"][0, 0], rtol=1e-6)

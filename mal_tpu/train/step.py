@@ -54,32 +54,30 @@ def _photometric_warps(cfg: Config, batch, outputs, depth, detach_T: bool):
 
 
 def _all_photometric_warps(cfg: Config, batch, outputs, depth_specs):
-    """All photometric warps for the step in ONE batched gather.
+    """All photometric warps for the step; per-spec backprojection is shared.
 
-    depth_specs: list of (depth, detach_T) — e.g. mono, multi, ensemble
-    (`manydepth/trainer.py:1111-1125` does 2 warps per set sequentially; the
-    gather is index-rate-bound on TPU, so stacking every (set x frame) pair
-    along the batch axis lets XLA tile one big gather instead of six).
-    Returns one list of per-frame warps per spec.
+    depth_specs: list of (depth, detach_T) — mono, multi, ensemble. NOTE:
+    stacking all six (set x frame) warps into ONE (6B, H, W, 3) gather was
+    measured 344 -> 524 ms/step on v5e (benchmarks/HISTORY.md) — the big
+    gather tiles worse and the src/grid concats defeat XLA's fusion of the
+    projection math into each gather — so the warps stay separate gathers
+    with only the backprojected points shared per depth set.
     """
     B, H, W, _ = batch["color"]["0"].shape
-    frames = [str(f) for f in cfg.frame_ids[1:]]
-    srcs, grids = [], []
+    out = []
     for depth, detach in depth_specs:
         points = geometry.backproject(depth[..., 0], batch["inv_K"], H, W)
+        warped = []
         for f in cfg.frame_ids[1:]:
             T = outputs[f"cam_T_cam/0/{f}"]
             if detach:
                 T = jax.lax.stop_gradient(T)
-            grids.append(geometry.project_3d(points, batch["K"], T, H, W))
-            srcs.append(batch["color"][str(f)])
-    big = grid_sample(jnp.concatenate(srcs, axis=0),
-                      jnp.concatenate(grids, axis=0),
-                      padding_mode="border", align_corners=True)
-    per = big.reshape(len(srcs), B, H, W, big.shape[-1])
-    nf = len(frames)
-    return [[per[s * nf + i] for i in range(nf)]
-            for s in range(len(depth_specs))]
+            grid = geometry.project_3d(points, batch["K"], T, H, W)
+            warped.append(grid_sample(batch["color"][str(f)], grid,
+                                      padding_mode="border",
+                                      align_corners=True))
+        out.append(warped)
+    return out
 
 
 def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,

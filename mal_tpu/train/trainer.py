@@ -9,6 +9,7 @@ lives in `mal_tpu.train.step`.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Callable, Iterable
@@ -45,6 +46,28 @@ class MetricLogger:
             print(f"[step {step}] {parts}", flush=True)
 
 
+def _default_sink(cfg: Config):
+    """Default observability: console + JSONL under ckpt_dir, plus wandb when
+    the environment is set up for it (the reference's primary sink,
+    `manydepth/trainer.py:110,472-492` — project `plug_many`)."""
+    from mal_tpu.utils.logging import (console_sink, jsonl_sink, multi_sink,
+                                       wandb_sink)
+
+    sinks = [console_sink]
+    if cfg.ckpt_dir:
+        try:
+            sinks.append(jsonl_sink(os.path.join(cfg.ckpt_dir, "metrics.jsonl")))
+        except OSError:
+            pass
+    if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE"):
+        try:
+            sinks.append(wandb_sink(name=cfg.model_name,
+                                    config=json.loads(cfg.to_json())))
+        except Exception as e:  # wandb missing/offline — keep training
+            print(f"wandb sink disabled: {e}", flush=True)
+    return multi_sink(*sinks)
+
+
 class Trainer:
     def __init__(self, cfg: Config, train_loader: DataLoader | Iterable,
                  val_batches: list | None = None,
@@ -58,7 +81,7 @@ class Trainer:
         self.train_loader = train_loader
         self.val_batches = val_batches
         self.gt_depths = gt_depths
-        self.logger = logger or MetricLogger()
+        self.logger = logger or MetricLogger(sink=_default_sink(cfg))
 
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.model import DynDepthModel

@@ -72,3 +72,54 @@ def test_dp_matches_single_device():
     p1 = jax.tree.leaves(state_1.params)[0]
     p8 = jax.tree.leaves(state_8.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_dp_dynamic_step_runs_on_8_devices():
+    from mal_tpu.dynamic.model import DynDepthModel
+    from mal_tpu.dynamic.step import make_dynamic_train_step
+
+    cfg = CFG.replace(method="dynamicdepth")
+    model = DynDepthModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=cfg.batch_size)
+    state = create_train_state(cfg, model, rng, batch)
+    tx = make_optimizer(cfg)
+
+    mesh = make_mesh(8)
+    step = data_parallel_step(make_dynamic_train_step(cfg, model, tx), mesh)
+    new_state, metrics = step(replicate(state, mesh), shard_batch(batch, mesh),
+                              replicate(jax.random.PRNGKey(1), mesh),
+                              replicate(jnp.zeros(()), mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
+def test_dp_dualref_step_runs_on_8_devices():
+    from mal_tpu.dualref.model import DEQDepthPose
+    from mal_tpu.dualref.step import make_dualref_train_step
+
+    cfg = Config(height=64, width=96, method="dualrefine", frame_ids=(0, -1),
+                 batch_size=8, deq_iters=2, corr_radius=2, corr_levels=2)
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=cfg.batch_size)
+    state = create_train_state(cfg, model, rng, batch)
+    tx = make_optimizer(cfg)
+
+    mesh = make_mesh(8)
+    step = data_parallel_step(make_dualref_train_step(cfg, model, tx), mesh)
+    new_state, metrics = step(replicate(state, mesh), shard_batch(batch, mesh),
+                              replicate(jax.random.PRNGKey(1), mesh),
+                              replicate(jnp.zeros(()), mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_shard_batch_rejects_non_divisible_batch():
+    """Batch not divisible by the mesh size must fail loudly, not wrap."""
+    mesh = make_mesh(8)
+    bad = {"x": jnp.ones((6, 4))}
+    with pytest.raises(ValueError):
+        jax.block_until_ready(shard_batch(bad, mesh))

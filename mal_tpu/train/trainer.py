@@ -211,6 +211,15 @@ class Trainer:
             from mal_tpu.dualref.evaluate import infer_disparities_dualref
             disps = infer_disparities_dualref(
                 self.model, variables, self.val_batches, self.cfg)
+        elif self.cfg.method == "dynamicdepth":
+            # full eval_mode protocol incl. doj metric families
+            from mal_tpu.dynamic.evaluate import evaluate_dynamic
+            if self.gt_depths is None:
+                return {"n_images": float(len(self.val_batches))}
+            return evaluate_dynamic(
+                self.cfg, variables, self.val_batches, self.gt_depths,
+                min_depth_bin=float(state.bins.min_depth),
+                max_depth_bin=float(state.bins.max_depth))
         else:
             disps = infer_disparities(
                 self.model, variables, self.val_batches, self.cfg,

@@ -1,12 +1,16 @@
 """Benchmark: MAL training-step throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Measures the full jit-compiled ManyDepth+MAL training step (teacher + student
 forward, cost volume, photometric warps, MAL distillation, Adam update) at the
 reference configuration — 192x640, batch 12, 96 depth bins
 (`manydepth/options.py:50-109`) — on synthetic data, steady state (compile
-excluded).
+excluded). The headline number uses the TPU fast-training mode (bf16 conv
+trunks + bf16 MXU cost-volume, `mal_tpu.config.TRAIN_FAST_SETTINGS` — the
+`cli train` default); `fp32_fps` is the exact-parity mode, and
+`temporal_fps` runs the step with the MAL temporal hint enabled (3 frozen
+Mask2Former Swin-L forwards per step, `manydepth/trainer.py:1161-1165`).
 
 `vs_baseline`: the reference publishes no numbers (BASELINE.md); we use an
 estimated 50 frames/s A100 training throughput for the same model/batch as a
@@ -24,44 +28,73 @@ import jax.numpy as jnp
 ESTIMATED_REFERENCE_FPS = 50.0  # A100 estimate; see module docstring
 
 
-def main():
-    from mal_tpu.config import Config
+def _measure(cfg, seg_fn=None, n_iters: int = 10) -> float:
+    """Steady-state frames/s for one training-step configuration."""
     from mal_tpu.data.synthetic import synthetic_batch
     from mal_tpu.models import MALModel
     from mal_tpu.train.state import create_train_state, make_optimizer
     from mal_tpu.train.step import make_train_step
 
-    cfg = Config(height=192, width=640, batch_size=12)
     model = MALModel(cfg)
     rng = jax.random.PRNGKey(0)
     batch = synthetic_batch(cfg, rng)
     state = create_train_state(cfg, model, rng, batch)
     tx = make_optimizer(cfg)
-    step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+    step = jax.jit(make_train_step(cfg, model, tx, seg_fn=seg_fn),
+                   donate_argnums=(0,))
 
     epoch = jnp.zeros(())
     # warmup / compile; device_get forces execution even over remote-attached
     # devices (block_until_ready alone does not flush the axon tunnel)
     state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch)
-    float(jax.device_get(metrics["loss"]))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert jnp.isfinite(loss), f"training diverged: loss={loss}"
 
-    n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i), epoch)
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / n_iters
+    return cfg.batch_size / dt
 
-    final_loss = float(jax.device_get(metrics["loss"]))
-    assert jnp.isfinite(final_loss), f"training diverged: loss={final_loss}"
 
-    fps = cfg.batch_size / dt
-    print(json.dumps({
+def _temporal_seg_fn(cfg):
+    """Frozen Mask2Former seg_fn (random weights — the compute cost is
+    weight-independent; real weights come from convert_mask2former_pkl)."""
+    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+
+    model = Mask2Former(max_instances=cfg.max_instances)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
+    return make_seg_fn(model, variables, cfg.max_instances)
+
+
+def main():
+    from mal_tpu.config import TRAIN_FAST_SETTINGS, Config
+
+    base = Config(height=192, width=640, batch_size=12)
+    fast = base.replace(**TRAIN_FAST_SETTINGS)
+
+    fps_fast = _measure(fast)
+    fps_fp32 = _measure(base)
+
+    temporal_fps = None
+    try:
+        tcfg = fast.replace(temporal=True, main_temporal=True)
+        temporal_fps = _measure(tcfg, seg_fn=_temporal_seg_fn(tcfg), n_iters=5)
+    except Exception as e:  # temporal bench must not sink the headline
+        print(f"# temporal bench skipped: {type(e).__name__}: {e}")
+
+    out = {
         "metric": "train_frames_per_sec_per_chip_640x192",
-        "value": round(fps, 2),
+        "value": round(fps_fast, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / ESTIMATED_REFERENCE_FPS, 3),
-    }))
+        "vs_baseline": round(fps_fast / ESTIMATED_REFERENCE_FPS, 3),
+        "fp32_fps": round(fps_fp32, 2),
+    }
+    if temporal_fps is not None:
+        out["temporal_fps"] = round(temporal_fps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -50,7 +50,11 @@ def _build_loaders(cfg: Config, shard=None):
 
 
 def cmd_train(args):
+    from mal_tpu.config import TRAIN_FAST_SETTINGS
+
     cfg = PRESETS[args.preset].replace(data_path=args.data_path)
+    # bf16 fast-training defaults (overridable with --set compute_dtype=...)
+    cfg = cfg.replace(**TRAIN_FAST_SETTINGS)
     cfg = _apply_overrides(cfg, args.set or [])
 
     shard = None

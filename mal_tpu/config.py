@@ -175,6 +175,17 @@ class Config:
         return cls(**d)
 
 
+# TPU fast-training mode: bf16 conv trunks + bf16 MXU cost-volume matmuls.
+# Measured on v5e at 192x640/batch 12 (benchmarks/HISTORY.md): 345 -> 250
+# ms/step (34.8 -> 48.0 fps) with identical first-step loss to 4 decimals.
+# Training entry points (cli train, bench.py) apply these by default; the
+# bare Config stays fp32/"highest" so eval and parity tests are exact.
+TRAIN_FAST_SETTINGS = {
+    "compute_dtype": "bfloat16",
+    "cv_mxu_precision": "default",
+}
+
+
 # Dataset presets, mirroring the trainer's option mutation
 # (`manydepth/trainer.py:129-142`).
 KITTI = Config()

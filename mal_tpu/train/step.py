@@ -64,6 +64,12 @@ def _all_photometric_warps(cfg: Config, batch, outputs, depth_specs):
     with only the backprojected points shared per depth set.
     """
     B, H, W, _ = batch["color"]["0"].shape
+    # bf16 fast mode: gather the image PAYLOAD in bf16 (halves the gathered
+    # bytes; [0,1] pixels keep ~3 decimal digits) while every coordinate /
+    # weight stays fp32 — bf16's 8 mantissa bits cannot address a 640-wide
+    # image to sub-pixel precision.
+    payload = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+               else jnp.float32)
     out = []
     for depth, detach in depth_specs:
         points = geometry.backproject(depth[..., 0], batch["inv_K"], H, W)
@@ -73,9 +79,9 @@ def _all_photometric_warps(cfg: Config, batch, outputs, depth_specs):
             if detach:
                 T = jax.lax.stop_gradient(T)
             grid = geometry.project_3d(points, batch["K"], T, H, W)
-            warped.append(grid_sample(batch["color"][str(f)], grid,
-                                      padding_mode="border",
-                                      align_corners=True))
+            w = grid_sample(batch["color"][str(f)].astype(payload), grid,
+                            padding_mode="border", align_corners=True)
+            warped.append(w.astype(jnp.float32))
         out.append(warped)
     return out
 

@@ -88,3 +88,29 @@ def test_no_distil_path(setup):
     # without balancing, loss == ori_loss
     np.testing.assert_allclose(float(metrics["loss"]), float(metrics["ori_loss"]),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_step_bf16_fast_mode():
+    """TRAIN_FAST_SETTINGS (bf16 trunks + bf16 warp payload) must train:
+    finite loss near the fp32 value, moving parameters."""
+    from mal_tpu.config import TRAIN_FAST_SETTINGS
+
+    cfg = SMALL.replace(**TRAIN_FAST_SETTINGS)
+    model = MALModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=2)
+    state = create_train_state(cfg, model, rng, batch)
+    tx = make_optimizer(cfg)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
+    assert np.isfinite(float(metrics["loss"]))
+
+    cfg32 = SMALL
+    model32 = MALModel(cfg32)
+    state32 = create_train_state(cfg32, model32, rng, batch)
+    step32 = jax.jit(make_train_step(cfg32, model32, make_optimizer(cfg32)))
+    _, m32 = step32(state32, batch, jax.random.PRNGKey(1), jnp.zeros(()))
+    # same init/seed: bf16 loss within 2% of fp32
+    np.testing.assert_allclose(float(metrics["loss"]), float(m32["loss"]),
+                               rtol=0.02)

@@ -96,7 +96,7 @@ def test_train_step_bf16_fast_mode():
     finite loss near the fp32 value, moving parameters."""
     from mal_tpu.config import TRAIN_FAST_SETTINGS
 
-    cfg = SMALL.replace(**TRAIN_FAST_SETTINGS)
+    cfg = CFG.replace(**TRAIN_FAST_SETTINGS)
     model = MALModel(cfg)
     rng = jax.random.PRNGKey(0)
     batch = synthetic_batch(cfg, rng, batch_size=2)
@@ -106,7 +106,7 @@ def test_train_step_bf16_fast_mode():
     state1, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
     assert np.isfinite(float(metrics["loss"]))
 
-    cfg32 = SMALL
+    cfg32 = CFG
     model32 = MALModel(cfg32)
     state32 = create_train_state(cfg32, model32, rng, batch)
     step32 = jax.jit(make_train_step(cfg32, model32, make_optimizer(cfg32)))

@@ -282,6 +282,71 @@ class LossBalancerState(NamedTuple):
                              count=jnp.zeros((), jnp.float32))
 
 
+class MultiLossManagerState(NamedTuple):
+    """Functional N-loss rebalancer (`manydepth/multilossmanager.py:6-88` —
+    the ECCV'20 multi-loss rebalancing algorithm with an explicit
+    `rebalancing` cadence; the shipped MAL path uses the 2-loss
+    `LossBalancerState` variant instead, but this is the general component).
+
+    The reference buffers every per-iteration loss only to take its mean at
+    rebalance time; the running sum/count is the same statistic in O(1)
+    memory.
+    """
+    w: Array            # (N,) loss weights
+    running_sum: Array  # (N,) per-loss sums since the last rebalance
+    count: Array        # ()
+    prev_total: Array   # ()
+    prev_mean: Array    # (N,)
+    initialized: Array  # () bool
+
+    @classmethod
+    def create(cls, num_losses: int) -> "MultiLossManagerState":
+        return cls(
+            w=jnp.full((num_losses,), 1.0 / num_losses, jnp.float32),
+            running_sum=jnp.zeros(num_losses, jnp.float32),
+            count=jnp.zeros((), jnp.float32),
+            prev_total=jnp.zeros((), jnp.float32),
+            prev_mean=jnp.zeros(num_losses, jnp.float32),
+            initialized=jnp.zeros((), bool),
+        )
+
+
+def multi_loss_total(state: MultiLossManagerState, loss_list: Array):
+    """Weighted sum + accumulated statistics (`get_total_loss`)."""
+    total = jnp.sum(state.w * loss_list)
+    stats = jax.lax.stop_gradient(state.w * loss_list)
+    return total, state._replace(running_sum=state.running_sum + stats,
+                                 count=state.count + 1.0)
+
+
+def multi_loss_rebalance(state: MultiLossManagerState, lambda_adjust,
+                         update_once: bool = False) -> MultiLossManagerState:
+    """`rebalancing`: init weights to equal contribution on the first call,
+    then bounded multiplicative adjustment; resets the accumulation window."""
+    mean = state.running_sum / jnp.maximum(state.count, 1.0)
+    total = jnp.sum(mean * state.w)
+
+    w_init = total * state.w / jnp.maximum(mean, 1e-12)
+
+    ratio = (total / jnp.maximum(state.prev_total, 1e-12)) \
+        * (state.prev_mean / jnp.maximum(mean, 1e-12))
+    adjust = jnp.clip(1.0 + lambda_adjust * (ratio - 1.0), 0.5, 2.0)
+    can_adjust = state.initialized & (state.prev_total > 0) \
+        & jnp.logical_not(jnp.asarray(update_once) & state.initialized)
+    w_adj = jnp.where(state.prev_total > 0, state.w * adjust, state.w)
+    new_w = jnp.where(state.initialized,
+                      jnp.where(can_adjust, w_adj, state.w), w_init)
+
+    return MultiLossManagerState(
+        w=new_w,
+        running_sum=jnp.zeros_like(state.running_sum),
+        count=jnp.zeros_like(state.count),
+        prev_total=jnp.sum(mean * new_w),
+        prev_mean=mean,
+        initialized=jnp.ones((), bool),
+    )
+
+
 def loss_balance(state: LossBalancerState, loss_list: Array,
                  lambda_adjust: Array):
     """Weighted total + updated balancer state.

@@ -92,3 +92,40 @@ def test_depth_errors_known_offset():
     np.testing.assert_allclose(e["sq_rel"], 0.4)
     np.testing.assert_allclose(e["rmse"], 2.0)
     assert e["a1"] == 1.0  # 1.2 < 1.25
+
+
+def test_multi_loss_manager_init_and_adjust():
+    """MultiLossManager (`manydepth/multilossmanager.py`): first rebalance
+    initializes weights to equal contribution; later ones adjust bounded in
+    [0.5, 2]."""
+    from mal_tpu.losses import (MultiLossManagerState, multi_loss_rebalance,
+                                multi_loss_total)
+
+    st = MultiLossManagerState.create(3)
+    np.testing.assert_allclose(np.asarray(st.w), [1 / 3] * 3, rtol=1e-6)
+
+    losses_t = jnp.asarray([3.0, 1.0, 0.5])
+    total, st = multi_loss_total(st, losses_t)
+    np.testing.assert_allclose(float(total), float(jnp.sum(losses_t) / 3),
+                               rtol=1e-6)
+
+    st = multi_loss_rebalance(st, 1.0)
+    # equal contribution: w_i * mean_i identical for all i
+    contrib = np.asarray(st.w) * np.asarray(losses_t) / 3
+    np.testing.assert_allclose(contrib, contrib[0], rtol=1e-5)
+
+    # a second window with shifted losses adjusts within [0.5, 2]
+    w_before = np.asarray(st.w)
+    _, st = multi_loss_total(st, jnp.asarray([6.0, 1.0, 0.25]))
+    st = multi_loss_rebalance(st, 1.0)
+    ratio = np.asarray(st.w) / w_before
+    assert np.all(ratio >= 0.5 - 1e-6) and np.all(ratio <= 2.0 + 1e-6)
+
+    # update_once freezes the weights after initialization
+    st2 = MultiLossManagerState.create(2)
+    _, st2 = multi_loss_total(st2, jnp.asarray([2.0, 1.0]))
+    st2 = multi_loss_rebalance(st2, 1.0, update_once=True)
+    w_frozen = np.asarray(st2.w)
+    _, st2 = multi_loss_total(st2, jnp.asarray([10.0, 1.0]))
+    st2 = multi_loss_rebalance(st2, 1.0, update_once=True)
+    np.testing.assert_allclose(np.asarray(st2.w), w_frozen, rtol=1e-6)

@@ -124,6 +124,10 @@ class Config:
     # defaults mirror `dualrefine/options.py:142-230`
     deq_solver: str = "anderson"  # --f_solver: anderson | iteration
     deq_iters: int = 6            # --f_thres
+    # freeze schedule (`dualrefine/options.py:118-135`, trainer.py:207-213):
+    # at freeze_teacher_epoch only the refinement student (conv2 / context /
+    # hidden / update_block) keeps training
+    freeze_teacher_epoch: int = 15
     deq_eval_factor: float = 1.0  # --eval_factor
     corr_radius: int = 8
     corr_levels: int = 3          # --num_levels

@@ -89,7 +89,15 @@ def sanitize_grads() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+# DualRefine's refinement student modules (`depth_pose.py:84-87`
+# freeze_backbone keeps exactly these trainable)
+DUALREF_STUDENT = ("conv2", "context", "hidden", "update_block")
+
+
+def make_optimizer(cfg: Config,
+                   freeze_backbone: bool = False) -> optax.GradientTransformation:
+    """`freeze_backbone=True` (DualRefine freeze_teacher_epoch phase) trains
+    only the refinement student; everything else is zeroed."""
     schedule = warmup_step_schedule(cfg.init_lr, cfg.learning_rate,
                                     cfg.warmup_steps, cfg.decay_steps)
     chain = [sanitize_grads()]
@@ -97,6 +105,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     chain.append(optax.adam(schedule))
     tx = optax.chain(*chain)
+
+    if freeze_backbone:
+        def label_bb(params):
+            return {k: ("train" if k in DUALREF_STUDENT else "frozen")
+                    for k in params.keys()}
+        return optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_bb)
 
     frozen: list[str] = []
     if cfg.freeze_teacher_and_pose:

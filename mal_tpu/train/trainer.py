@@ -163,6 +163,20 @@ class Trainer:
 
     def run_epoch(self, epoch: int):
         cfg = self.cfg
+        # DualRefine freeze schedule (`dualrefine/trainer.py:207-213`): from
+        # freeze_teacher_epoch only the refinement student trains. Like the
+        # reference's dynamicdepth freeze (`dynamicdepth/trainer.py:287-305`)
+        # the optimizer is rebuilt, so Adam moments restart at the boundary.
+        if (cfg.method == "dualrefine"
+                and epoch == cfg.freeze_teacher_epoch and epoch > 0):
+            from mal_tpu.dualref.step import make_dualref_train_step
+            self.tx = make_optimizer(cfg, freeze_backbone=True)
+            params = jax.device_get(self.state).params
+            self.state = self.state.replace(opt_state=self.tx.init(params))
+            self.step_fn = data_parallel_step(
+                make_dualref_train_step(cfg, self.model, self.tx), self.mesh)
+            self.state = replicate(jax.device_get(self.state), self.mesh)
+
         # loss-balancer cumulative window resets per epoch
         # (`loss_utils.py:294,321`)
         self.state = self.state.replace(

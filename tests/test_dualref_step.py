@@ -49,3 +49,37 @@ def test_dualref_train_step():
                   zip(jax.tree.leaves(state.params["update_block"]),
                       jax.tree.leaves(state1.params["update_block"])))
     assert ub_diff > 0.0
+
+
+@pytest.mark.slow
+def test_freeze_backbone_trains_student_only():
+    """freeze_teacher_epoch partition (`depth_pose.py:84-87` freeze_backbone):
+    only conv2/context/hidden/update_block move."""
+    cfg = CFG
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=1)
+    variables = model.init(rng, batch["color_aug"]["0"],
+                           batch["color_aug"]["-1"], batch["K"],
+                           invert=True, train=True)
+    params = variables["params"]
+    tx = make_optimizer(cfg, freeze_backbone=True)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(params),
+                       bins=DepthBinTracker.create(),
+                       balancer=LossBalancerState.create())
+    step = jax.jit(make_dualref_train_step(cfg, model, tx))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
+    assert np.isfinite(float(metrics["loss"]))
+
+    def moved(name):
+        return sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+            jax.tree.leaves(state.params[name]),
+            jax.tree.leaves(state1.params[name])))
+
+    for frozen in ("cnet", "decoder", "pose_trunk_0", "pose_weights",
+                   "reproject_2"):
+        assert moved(frozen) == 0.0, frozen
+    assert moved("update_block") > 0.0
+    assert moved("context") > 0.0

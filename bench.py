@@ -64,7 +64,7 @@ def _temporal_seg_fn(cfg):
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
     model = Mask2Former(max_instances=cfg.max_instances)
-    variables = jax.jit(model.init)(
+    variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     return make_seg_fn(model, variables, cfg.max_instances)
 

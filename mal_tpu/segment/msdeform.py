@@ -17,6 +17,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mal_tpu.ops.interp import grid_sample
 
@@ -33,8 +34,10 @@ def ms_deform_attn_core(value: Array, spatial_shapes: list[tuple[int, int]],
     B, _, H_, C = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
 
-    splits = [h * w for h, w in spatial_shapes]
-    values = jnp.split(value, jnp.cumsum(jnp.asarray(splits))[:-1], axis=1)
+    # static split points (np, not jnp: a traced cumsum would make the split
+    # sizes abstract under jit)
+    splits = np.cumsum([h * w for h, w in spatial_shapes])[:-1].tolist()
+    values = jnp.split(value, splits, axis=1)
 
     out = 0.0
     for lvl, (h, w) in enumerate(spatial_shapes):

@@ -90,6 +90,10 @@ class Config:
     # --- parallelism ---
     data_axis: str = "data"
     num_data_shards: int = 1
+    # >1: 2-D (data x depth) mesh; the cost volume's 96-plane axis shards
+    # over the "depth" axis (SURVEY.md §5 — this domain's sequence
+    # parallelism). Requires num_data_shards * num_depth_shards devices.
+    num_depth_shards: int = 1
 
     # --- data ---
     dataset: str = "kitti"

@@ -102,6 +102,9 @@ class ResnetEncoderMatching(nn.Module):
     cv_chunk: int = 16
     use_pallas: bool = True  # Pallas plane-sweep kernel on TPU (3.9x faster)
     cv_mxu_precision: str = "highest"
+    # >1: shard the depth-plane axis over a "depth" mesh axis (single-chunk
+    # XLA path; GSPMD splits the volume so each device holds D/n planes)
+    num_depth_shards: int = 1
     dtype: Any = None
 
     def setup(self):
@@ -134,7 +137,13 @@ class ResnetEncoderMatching(nn.Module):
 
         depth_bins = compute_depth_bins(min_depth_bin, max_depth_bin,
                                         self.num_depth_bins, self.depth_binning)
-        if self.use_pallas and jax.default_backend() == "tpu":
+        if self.num_depth_shards > 1:
+            # depth-plane sharding: single-chunk XLA path with in-model
+            # sharding constraints (the Pallas kernel is per-device)
+            cost_volume, missing_mask = plane_sweep_cost_volume(
+                jax.lax.stop_gradient(cur_feats), lookup_feats, poses, K,
+                invK, depth_bins, chunk=self.num_depth_bins)
+        elif self.use_pallas and jax.default_backend() == "tpu":
             from mal_tpu.ops.pallas.cost_volume_kernel import (
                 plane_sweep_cost_volume_pallas)
             cost_volume, missing_mask = plane_sweep_cost_volume_pallas(

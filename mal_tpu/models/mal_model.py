@@ -47,6 +47,7 @@ class MALModel(nn.Module):
             adaptive_bins=cfg.adaptive_bins,
             use_pallas=cfg.use_pallas,
             cv_mxu_precision=cfg.cv_mxu_precision,
+            num_depth_shards=cfg.num_depth_shards,
             dtype=dtype,
             name="encoder",
         )

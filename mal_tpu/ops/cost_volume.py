@@ -26,6 +26,7 @@ from jax import lax
 
 from mal_tpu import geometry
 from mal_tpu.ops.interp import grid_sample
+from mal_tpu.parallel.mesh import constrain
 
 Array = jax.Array
 
@@ -111,16 +112,27 @@ def plane_sweep_cost_volume(
 
         diffs = jnp.mean(jnp.abs(warped - cur_feats[:, None, None]), axis=-1)
         diffs = diffs * edge * valid_frame                      # (B,F,Dc,h,w)
+        # depth-plane sharding (active only under a mesh with a "depth"
+        # axis AND chunk == D — the domain's sequence parallelism; with the
+        # scan each device would still execute every chunk)
+        diffs = constrain(diffs, "data", None, "depth", None, None)
 
         cost_c = jnp.sum(diffs, axis=1)                         # (B,Dc,h,w)
         counts_c = jnp.sum((diffs > 0).astype(dtype), axis=1)
         return None, (cost_c, counts_c)
 
     d_chunks = depth_bins.astype(jnp.float32).reshape(D // chunk, chunk)
-    _, (cost, counts) = lax.scan(chunk_body, None, d_chunks)
-    # (D//chunk, B, chunk, h, w) -> (B, D, h, w)
-    cost = jnp.moveaxis(cost, 0, 1).reshape(B, D, h, w)
-    counts = jnp.moveaxis(counts, 0, 1).reshape(B, D, h, w)
+    if D == chunk:
+        # single-chunk path (used by depth-plane sharding): no scan, so
+        # GSPMD can split the D axis across devices
+        cost, counts = chunk_body(None, d_chunks[0])[1]
+        cost = constrain(cost, "data", "depth", None, None)
+        counts = constrain(counts, "data", "depth", None, None)
+    else:
+        _, (cost, counts) = lax.scan(chunk_body, None, d_chunks)
+        # (D//chunk, B, chunk, h, w) -> (B, D, h, w)
+        cost = jnp.moveaxis(cost, 0, 1).reshape(B, D, h, w)
+        counts = jnp.moveaxis(counts, 0, 1).reshape(B, D, h, w)
 
     cost = cost / (counts + 1e-7)
     missing = (cost == 0).astype(dtype)

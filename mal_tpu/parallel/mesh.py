@@ -14,6 +14,8 @@ including 1.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Callable
 
 import jax
@@ -31,6 +33,50 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
                 f"build a smaller mesh silently")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(num_data: int, num_depth: int,
+                 axes: tuple[str, str] = ("data", "depth")) -> Mesh:
+    """(data x depth) mesh: batch sharded on `data`, cost-volume depth
+    planes sharded on `depth` — the domain's sequence-parallel axis
+    (SURVEY.md §5: the 96-plane volume is the memory hot spot)."""
+    n = num_data * num_depth
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"make_mesh_2d({num_data}x{num_depth}) needs {n} "
+                         f"devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(num_data, num_depth), axes)
+
+
+# --- trace-time mesh registry for in-model sharding constraints ------------
+# Modules deep inside the model (the plane-sweep op) can't take a Mesh
+# argument without breaking the frozen-Config plumbing; `mesh_context` is
+# active while the step is traced and `constrain` becomes a no-op when no
+# mesh (or no matching axis) is present, so the single-device path is
+# untouched.
+_LOCAL = threading.local()
+
+
+@contextlib.contextmanager
+def mesh_context(mesh: Mesh):
+    prev = getattr(_LOCAL, "mesh", None)
+    _LOCAL.mesh = mesh
+    try:
+        yield
+    finally:
+        _LOCAL.mesh = prev
+
+
+def constrain(x: Any, *spec: str | None) -> Any:
+    """`with_sharding_constraint(x, P(*spec))` against the context mesh;
+    identity when no mesh is active or an axis name is absent from it."""
+    mesh = getattr(_LOCAL, "mesh", None)
+    if mesh is None:
+        return x
+    if any(s is not None and s not in mesh.axis_names for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
@@ -59,8 +105,16 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
 
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
     )
+
+    def run(*args):
+        # trace (first call) under the mesh context so in-model `constrain`
+        # calls resolve; later calls hit the jit cache
+        with mesh_context(mesh):
+            return jitted(*args)
+
+    return run

@@ -130,6 +130,11 @@ class Trainer:
             assert num_devices is None, \
                 "num_devices is per-host only; multi-host uses all devices"
             self.mesh = make_global_mesh()
+        elif cfg.num_depth_shards > 1:
+            from mal_tpu.parallel.mesh import make_mesh_2d
+            n_data = ((num_devices or len(jax.devices()))
+                      // cfg.num_depth_shards)
+            self.mesh = make_mesh_2d(n_data, cfg.num_depth_shards)
         else:
             self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":

@@ -123,3 +123,31 @@ def test_shard_batch_rejects_non_divisible_batch():
     bad = {"x": jnp.ones((6, 4))}
     with pytest.raises(ValueError):
         jax.block_until_ready(shard_batch(bad, mesh))
+
+
+@pytest.mark.slow
+def test_depth_plane_sharded_step_matches_single_device():
+    """2-D (data x depth) mesh: the cost volume's depth-plane axis is this
+    domain's sequence parallelism (SURVEY.md §5). A 4x2-sharded step must
+    reproduce single-device numerics."""
+    from mal_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = CFG.replace(num_depth_shards=2, use_pallas=False)
+    model, batch, state, tx = _setup(cfg)
+    step_fn = make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+    epoch = jnp.zeros(())
+
+    state_1, metrics_1 = jax.jit(step_fn)(state, batch, rng, epoch)
+
+    mesh = make_mesh_2d(4, 2)
+    assert mesh.devices.shape == (4, 2)
+    step_s = data_parallel_step(step_fn, mesh)
+    state_s, metrics_s = step_s(replicate(state, mesh),
+                                shard_batch(batch, mesh),
+                                replicate(rng, mesh), replicate(epoch, mesh))
+    np.testing.assert_allclose(float(metrics_1["loss"]),
+                               float(metrics_s["loss"]), rtol=2e-4)
+    p1 = jax.tree.leaves(state_1.params)[0]
+    ps = jax.tree.leaves(state_s.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ps), atol=5e-5)

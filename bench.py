@@ -69,6 +69,31 @@ def _temporal_seg_fn(cfg):
     return make_seg_fn(model, variables, cfg.max_instances)
 
 
+def _derived_temporal_fps(cfg, fps_base: float) -> float:
+    """Temporal-hint throughput derived as base step + 6x Mask2Former
+    forward (2 temporal_syn calls x 3 frames each,
+    `manydepth/trainer.py:1161-1165`), measured separately. Used when the
+    combined step program exceeds the remote-compile upload limit."""
+    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+
+    model = Mask2Former(max_instances=cfg.max_instances)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
+    seg_fn = jax.jit(make_seg_fn(model, variables, cfg.max_instances))
+
+    imgs = jnp.zeros((cfg.batch_size, cfg.height, cfg.width, 3))
+    inst = seg_fn(imgs)
+    float(jax.device_get(inst.scores[0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        inst = seg_fn(imgs)
+    float(jax.device_get(inst.scores[0, 0]))
+    t_seg = (time.perf_counter() - t0) / 5
+
+    t_step = cfg.batch_size / fps_base
+    return cfg.batch_size / (t_step + 6.0 * t_seg)
+
+
 def main():
     from mal_tpu.config import TRAIN_FAST_SETTINGS, Config
 
@@ -79,11 +104,18 @@ def main():
     fps_fp32 = _measure(base)
 
     temporal_fps = None
+    temporal_derived = False
     try:
         tcfg = fast.replace(temporal=True, main_temporal=True)
         temporal_fps = _measure(tcfg, seg_fn=_temporal_seg_fn(tcfg), n_iters=5)
     except Exception as e:  # temporal bench must not sink the headline
-        print(f"# temporal bench skipped: {type(e).__name__}: {e}")
+        print(f"# temporal step bench fell back to derived: "
+              f"{type(e).__name__}: {e}")
+        try:
+            temporal_fps = _derived_temporal_fps(fast, fps_fast)
+            temporal_derived = True
+        except Exception as e2:
+            print(f"# temporal bench skipped: {type(e2).__name__}: {e2}")
 
     out = {
         "metric": "train_frames_per_sec_per_chip_640x192",
@@ -93,7 +125,8 @@ def main():
         "fp32_fps": round(fps_fp32, 2),
     }
     if temporal_fps is not None:
-        out["temporal_fps"] = round(temporal_fps, 2)
+        key = "temporal_fps_derived" if temporal_derived else "temporal_fps"
+        out[key] = round(temporal_fps, 2)
     print(json.dumps(out))
 
 

@@ -143,6 +143,7 @@ def cmd_eval(args):
         max_bin = float(extras.get("max_depth_bin", 10.0))
         model = MALModel(cfg)
         disps = infer_disparities(model, variables, iter(loader), cfg,
+                                  eval_teacher=args.eval_teacher,
                                   min_depth_bin=min_bin, max_depth_bin=max_bin)
 
     gt = np.load(args.gt, fix_imports=True, encoding="latin1",
@@ -172,6 +173,9 @@ def main(argv=None):
     pe.add_argument("--gt", required=True)
     pe.add_argument("--doj_root", default=None,
                     help="dynamic-object mask dir (method=dynamicdepth)")
+    pe.add_argument("--eval_teacher", action="store_true",
+                    help="evaluate the mono teacher instead of the student "
+                         "(`manydepth/options.py` --eval_teacher)")
     pe.add_argument("--set", nargs="*")
     pe.set_defaults(fn=cmd_eval)
 

@@ -76,9 +76,12 @@ def evaluate_depth_maps(pred_disps: Sequence[np.ndarray],
                         eval_split: str = "eigen",
                         median_scaling: bool = True) -> dict:
     """Mean 7-metric dict over the split + median-scaling ratio stats."""
+    # DDAD evaluates to 200 m (`manydepth/trainer.py:669-670`)
+    max_depth = 200.0 if eval_split == "ddad" else EVAL_MAX_DEPTH
     errors, ratios = [], []
     for pred_disp, gt in zip(pred_disps, gt_depths):
         g, p, r = prepare_gt_and_pred(gt, pred_disp, eval_split,
+                                      max_depth=max_depth,
                                       median_scaling=median_scaling)
         errors.append(compute_depth_errors_np(g, p))
         ratios.append(r)

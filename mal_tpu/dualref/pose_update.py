@@ -10,7 +10,6 @@ guards), and an SE(3)-exponential pose composition.
 
 from __future__ import annotations
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -19,38 +18,9 @@ from mal_tpu.ops.interp import grid_sample
 
 Array = jax.Array
 
-
-class _ResidualBlockIN(nn.Module):
-    """RAFT-style residual block with instance/batch-free norm.
-
-    The reference uses `ResidualBlock(..., 'batch')` inside PoseUpdate; we use
-    instance norm (statistics-free, jit-friendly) with the same topology.
-    """
-    filters: int
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
-        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm1")(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
-        y = nn.GroupNorm(num_groups=None, group_size=1, name="norm2")(y)
-        y = nn.relu(y)
-        if x.shape[-1] != self.filters:
-            x = nn.Conv(self.filters, (1, 1), name="proj")(x)
-        return nn.relu(x + y)
-
-
-class PoseUpdateNet(nn.Module):
-    """The two small conv heads: per-pixel uncertainty + 16-ch feat head."""
-    inp_dim: int = 64
-
-    @nn.compact
-    def __call__(self, feats: Array):
-        w = _ResidualBlockIN(self.inp_dim, name="w_block1")(feats)
-        w = _ResidualBlockIN(self.inp_dim, name="w_block2")(w)
-        w = nn.relu(nn.Conv(1, (1, 1), use_bias=False, name="w_out")(w))
-        return w
+# The uncertainty head lives in `mal_tpu.dualref.model._PoseWeights`
+# (batch-norm residual blocks matching the `pose_update.weights` checkpoint
+# layout); this module holds the functional Gauss-Newton math only.
 
 
 def compute_uncertainty(weights_out_src: Array, weights_out_tgt: Array):

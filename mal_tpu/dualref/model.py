@@ -139,19 +139,32 @@ class DEQDepthPose(nn.Module):
 
     # ------------------------------------------------------------------
     def _initial_pose(self, image1: Array, image2: Array, invert: bool,
-                      side: int, train: bool) -> Array:
+                      side: int, train: bool,
+                      sides: Array | None = None) -> Array:
+        """Per-side pose nets (`depth_pose.py:153-172,411-416`): the reference
+        boolean-indexes the batch by camera side; with static shapes we run
+        the needed nets and per-sample `where`-select when `sides` (B,) int
+        is given, else the single static `side` net."""
         pair = [image2, image1] if invert else [image1, image2]
         x = jnp.concatenate(pair, axis=-1)
+
+        def pose_for(s):
+            feats = self.pose_trunks[s](x, train=train)
+            aa, t = self.pose_heads[s](feats[-1])
+            return geometry.transformation_from_parameters(
+                aa[:, 0, 0], t[:, 0, 0], invert=invert)
+
         if self.is_initializing():
             # touch every side's net so checkpoint conversion finds all
-            # 3 pose nets (`depth_pose.py:153-172`), not just the traced one
+            # 3 pose nets, not just the traced one
             for s in range(3):
                 if s != side:
-                    self.pose_heads[s](self.pose_trunks[s](x, train=train)[-1])
-        feats = self.pose_trunks[side](x, train=train)
-        aa, t = self.pose_heads[side](feats[-1])
-        return geometry.transformation_from_parameters(
-            aa[:, 0, 0], t[:, 0, 0], invert=invert)
+                    pose_for(s)
+        if sides is None:
+            return pose_for(side)
+        poses = jnp.stack([pose_for(s) for s in range(3)], axis=1)  # (B,3,4,4)
+        return jnp.take_along_axis(
+            poses, sides[:, None, None, None].astype(jnp.int32), axis=1)[:, 0]
 
     def _depth_to_disp(self, depth: Array) -> Array:
         return geometry.depth_to_disp(depth, self.cfg.min_depth, self.cfg.max_depth)
@@ -159,6 +172,7 @@ class DEQDepthPose(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, image1: Array, image2: Array, K_full: Array,
                  invert: bool = False, side: int = 0, train: bool = False,
+                 sides: Array | None = None,
                  num_iters: int | None = None,
                  combine_via_mask: bool | None = None):
         """Returns (outputs dict, poses [T0, T*]).
@@ -197,7 +211,7 @@ class DEQDepthPose(nn.Module):
         src_w = 1.0 / (1.0 + self.pose_weights(taps1["stem2"], train=train))
         tgt_w = 1.0 / (1.0 + self.pose_weights(taps2["stem2"], train=train))
 
-        pose0 = self._initial_pose(im1, im2, invert, side, train)
+        pose0 = self._initial_pose(im1, im2, invert, side, train, sides=sides)
 
         disp_2_0 = disps[2]
         depth0 = geometry.disp_to_depth(disp_2_0, cfg.min_depth, cfg.max_depth)[1]

@@ -159,3 +159,36 @@ def test_deq_depth_pose_forward():
     # refined pose stays near the initial one at init (tiny updates)
     np.testing.assert_allclose(np.asarray(poses[1]), np.asarray(poses[0]),
                                atol=0.5)
+
+
+@pytest.mark.slow
+def test_per_sample_sides_selects_matching_pose_net():
+    """`sides` (B,) selects each sample's pose net; a sides vector of all-s
+    must reproduce the static side=s path exactly."""
+    cfg = CFG
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    img1 = jax.random.uniform(rng, (2, cfg.height, cfg.width, 3))
+    img2 = jax.random.uniform(jax.random.PRNGKey(1), img1.shape)
+    K = jnp.broadcast_to(jnp.eye(4).at[0, 0].set(50.).at[1, 1].set(50.)
+                         .at[0, 2].set(cfg.width / 2)
+                         .at[1, 2].set(cfg.height / 2), (2, 4, 4))
+    variables = model.init(rng, img1, img2, K, invert=True, train=False)
+
+    out_static, poses_static = model.apply(
+        variables, img1, img2, K, invert=True, side=1, train=False,
+        mutable=False)
+    out_sides, poses_sides = model.apply(
+        variables, img1, img2, K, invert=True, sides=jnp.ones((2,), jnp.int32),
+        train=False, mutable=False)
+    np.testing.assert_allclose(np.asarray(poses_static[0]),
+                               np.asarray(poses_sides[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_static["disp_0_1"]),
+                               np.asarray(out_sides["disp_0_1"]), atol=1e-5)
+
+    # mixed sides differ from any single static side (different nets)
+    _, poses_mixed = model.apply(
+        variables, img1, img2, K, invert=True,
+        sides=jnp.asarray([0, 2], jnp.int32), train=False, mutable=False)
+    assert not np.allclose(np.asarray(poses_mixed[0]),
+                           np.asarray(poses_static[0]))

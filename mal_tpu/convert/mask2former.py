@@ -77,9 +77,10 @@ def convert_swin(sd: Mapping[str, np.ndarray], size: str = "large",
         "patch_norm": _ln(sd, prefix + "patch_embed.norm"),
     }
     for s, depth in enumerate(_DEPTHS[size]):
+        blocks = []
         for b in range(depth):
             bp = f"{prefix}layers.{s}.blocks.{b}."
-            p[f"stage{s}_block{b}"] = {
+            blocks.append({
                 "norm1": _ln(sd, bp + "norm1"),
                 "attn": {
                     "relative_position_bias_table":
@@ -90,7 +91,13 @@ def convert_swin(sd: Mapping[str, np.ndarray], size: str = "large",
                 "norm2": _ln(sd, bp + "norm2"),
                 "mlp_fc1": _dense(sd, bp + "mlp.fc1"),
                 "mlp_fc2": _dense(sd, bp + "mlp.fc2"),
-            }
+            })
+        # the stage runs as ONE nn.scan'd block: stack per-block leaves on a
+        # new leading axis (`mal_tpu.segment.swin.SwinStage`)
+        import jax
+
+        p[f"stage{s}"] = {"blocks": jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0), *blocks)}
         if s < 3:
             p[f"merge{s}"] = {
                 "norm": _ln(sd, f"{prefix}layers.{s}.downsample.norm"),

@@ -20,15 +20,24 @@ fixed comparison denominator until reference hardware numbers exist.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persist compiled executables across runs (tests/conftest.py does the same
+# for pytest; without this every bench run pays full remote recompilation)
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 
 ESTIMATED_REFERENCE_FPS = 50.0  # A100 estimate; see module docstring
 
 
-def _measure(cfg, seg_fn=None, n_iters: int = 10) -> float:
+def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
     """Steady-state frames/s for one training-step configuration."""
     from mal_tpu.data.synthetic import synthetic_batch
     from mal_tpu.models import MALModel
@@ -42,31 +51,33 @@ def _measure(cfg, seg_fn=None, n_iters: int = 10) -> float:
     tx = make_optimizer(cfg)
     step = jax.jit(make_train_step(cfg, model, tx, seg_fn=seg_fn),
                    donate_argnums=(0,))
+    extras = (seg_variables,) if seg_fn is not None else ()
 
     epoch = jnp.zeros(())
     # warmup / compile; device_get forces execution even over remote-attached
     # devices (block_until_ready alone does not flush the axon tunnel)
-    state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch, *extras)
     loss = float(jax.device_get(metrics["loss"]))
     assert jnp.isfinite(loss), f"training diverged: loss={loss}"
 
     t0 = time.perf_counter()
     for i in range(n_iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i), epoch)
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i), epoch,
+                              *extras)
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / n_iters
     return cfg.batch_size / dt
 
 
 def _temporal_seg_fn(cfg):
-    """Frozen Mask2Former seg_fn (random weights — the compute cost is
-    weight-independent; real weights come from convert_mask2former_pkl)."""
+    """Frozen Mask2Former seg_fn + weights (random weights — the compute
+    cost is weight-independent; real weights via convert_mask2former_pkl)."""
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
     model = Mask2Former(max_instances=cfg.max_instances)
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
-    return make_seg_fn(model, variables, cfg.max_instances)
+    return make_seg_fn(model, None, cfg.max_instances), variables
 
 
 def _derived_temporal_fps(cfg, fps_base: float) -> float:
@@ -79,14 +90,14 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     model = Mask2Former(max_instances=cfg.max_instances)
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
-    seg_fn = jax.jit(make_seg_fn(model, variables, cfg.max_instances))
+    seg_fn = jax.jit(make_seg_fn(model, None, cfg.max_instances))
 
     imgs = jnp.zeros((cfg.batch_size, cfg.height, cfg.width, 3))
-    inst = seg_fn(imgs)
+    inst = seg_fn(variables, imgs)
     float(jax.device_get(inst.scores[0, 0]))
     t0 = time.perf_counter()
     for _ in range(5):
-        inst = seg_fn(imgs)
+        inst = seg_fn(variables, imgs)
     float(jax.device_get(inst.scores[0, 0]))
     t_seg = (time.perf_counter() - t0) / 5
 
@@ -107,7 +118,9 @@ def main():
     temporal_derived = False
     try:
         tcfg = fast.replace(temporal=True, main_temporal=True)
-        temporal_fps = _measure(tcfg, seg_fn=_temporal_seg_fn(tcfg), n_iters=5)
+        seg_fn, seg_vars = _temporal_seg_fn(tcfg)
+        temporal_fps = _measure(tcfg, seg_fn=seg_fn, seg_variables=seg_vars,
+                                n_iters=5)
     except Exception as e:  # temporal bench must not sink the headline
         print(f"# temporal step bench fell back to derived: "
               f"{type(e).__name__}: {e}")

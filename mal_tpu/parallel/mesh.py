@@ -96,18 +96,20 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def data_parallel_step(step_fn: Callable, mesh: Mesh,
-                       axis: str = "data") -> Callable:
-    """jit a (state, batch, rng, epoch) step with DP in/out shardings.
+                       axis: str = "data", n_extra_repl: int = 0) -> Callable:
+    """jit a (state, batch, rng, epoch, *extras) step with DP in/out shardings.
 
-    state/rng/epoch replicated; batch sharded on the data axis. Gradients and
-    all batch statistics reduce globally inside (XLA collectives over ICI).
+    state/rng/epoch (and any extras — e.g. the frozen Mask2Former weights,
+    which must be ARGUMENTS, not closure constants) replicated; batch sharded
+    on the data axis. Gradients and all batch statistics reduce globally
+    inside (XLA collectives over ICI).
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
 
     jitted = jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl, repl),
+        in_shardings=(repl, data, repl, repl) + (repl,) * n_extra_repl,
         out_shardings=(repl, repl),
     )
 

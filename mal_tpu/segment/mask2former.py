@@ -88,13 +88,21 @@ def instance_inference(pred_logits: Array, pred_masks: Array,
     )
 
 
-def make_seg_fn(model: Mask2Former, variables, max_instances: int = 8,
+def make_seg_fn(model: Mask2Former, variables=None, max_instances: int = 8,
                 mask_threshold: float = 0.0):
-    """Build the `seg_fn(images) -> Instances` used by the temporal hint."""
+    """Build the `seg_fn(seg_variables, images) -> Instances` used by the
+    temporal hint.
 
-    def seg_fn(images: Array) -> Instances:
+    The weights are an explicit ARGUMENT, not a closure: closing over the
+    ~200M-param Swin-L pytree embeds it as program constants in the jitted
+    train step (gigabyte HLO uploads; remote compile services reject them).
+    `variables` here is only a fallback used when the call passes None.
+    """
+
+    def seg_fn(seg_variables, images: Array) -> Instances:
+        v = seg_variables if seg_variables is not None else variables
         H, W = images.shape[1:3]
-        logits, masks = model.apply(variables, images)
+        logits, masks = model.apply(v, images)
         logits = jax.lax.stop_gradient(logits)
         masks = jax.lax.stop_gradient(masks)
         return instance_inference(logits, masks, H, W, max_instances,

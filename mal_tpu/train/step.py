@@ -101,20 +101,20 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     if (cfg.temporal or cfg.main_temporal) and seg_fn is None:
         raise ValueError("cfg.temporal requires a segmentation seg_fn")
 
-    def temporal_syn(batch, warped):
+    def temporal_syn(batch, warped, seg_variables):
         """Temporal-hint synthesized frames (`dyn_utils.py:121-170`)."""
         from mal_tpu.temporal import image_synthesis
 
-        inst_cur = seg_fn(batch["color"]["0"])
-        inst_last = seg_fn(warped[0])
-        inst_next = seg_fn(warped[1])
+        inst_cur = seg_fn(seg_variables, batch["color"]["0"])
+        inst_last = seg_fn(seg_variables, warped[0])
+        inst_next = seg_fn(seg_variables, warped[1])
         syn_l, syn_n, _ = image_synthesis(
             warped[0], warped[1], inst_cur, inst_last, inst_next,
             cfg.ins_threshold)
         return [syn_l, syn_n]
 
     def train_step(state: TrainState, batch: dict, rng: Array,
-                   epoch: Array):
+                   epoch: Array, seg_variables=None):
         rng_model, rng_noise = jax.random.split(rng)
         min_d, max_d = state.bins.min_depth, state.bins.max_depth
 
@@ -146,7 +146,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             mono_warped, multi_warped = warps[0], warps[1]
 
             # --- teacher ---
-            mono_syn = temporal_syn(batch, mono_warped) if cfg.temporal else ()
+            mono_syn = (temporal_syn(batch, mono_warped, seg_variables)
+                        if cfg.temporal else ())
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0, mono_warped,
                 identity, syn=mono_syn,
@@ -162,7 +163,7 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
                 ens_reproj = jax.lax.stop_gradient(
                     losses.min_reprojection(warps[2], color0))
 
-            multi_syn = (temporal_syn(batch, multi_warped)
+            multi_syn = (temporal_syn(batch, multi_warped, seg_variables)
                          if cfg.main_temporal else ())
             multi_out = losses.multi_losses(
                 outputs["disp"], color0, multi_warped, multi_depth,

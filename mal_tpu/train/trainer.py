@@ -117,8 +117,11 @@ class Trainer:
                     "mal_tpu.convert.mask2former.convert_mask2former_pkl); "
                     "random-init segmentation would make the temporal hint "
                     "synthesize noise")
-            seg_fn = make_seg_fn(self.seg_model, seg_variables,
-                                 cfg.max_instances, mask_threshold=0.0)
+            # weights flow through the step as an ARGUMENT (closure would
+            # embed the Swin-L pytree as program constants)
+            seg_fn = make_seg_fn(self.seg_model, None, cfg.max_instances,
+                                 mask_threshold=0.0)
+            self.seg_variables = seg_variables
 
         # multi-host: one process per host (jax.distributed.initialize done
         # by the caller); the global mesh spans every chip and each host's
@@ -145,8 +148,12 @@ class Trainer:
             raw_step = make_dualref_train_step(cfg, self.model, self.tx)
         else:
             raw_step = make_train_step(cfg, self.model, self.tx, seg_fn=seg_fn)
-        self.step_fn = data_parallel_step(raw_step, self.mesh)
+        self._temporal = seg_fn is not None
+        self.step_fn = data_parallel_step(
+            raw_step, self.mesh, n_extra_repl=1 if self._temporal else 0)
         self.state = replicate(self.state, self.mesh)
+        if self._temporal:
+            self._seg_vars_repl = replicate(self.seg_variables, self.mesh)
         self.step = 0
         self.start_time = time.time()
 
@@ -197,8 +204,10 @@ class Trainer:
                 batch = shard_host_batch(batch, self.mesh)
             else:
                 batch = shard_batch(jax.tree.map(jnp.asarray, batch), self.mesh)
+            extras = (self._seg_vars_repl,) if self._temporal else ()
             self.state, metrics = self.step_fn(
-                self.state, batch, replicate(step_rng, self.mesh), epoch_arr)
+                self.state, batch, replicate(step_rng, self.mesh), epoch_arr,
+                *extras)
 
             if self.step % cfg.log_every == 0:
                 m = jax.device_get(metrics)

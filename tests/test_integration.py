@@ -16,7 +16,7 @@ from mal_tpu.train.step import make_train_step
 SMALL = Config(height=64, width=96, num_depth_bins=16, batch_size=2)
 
 
-def dummy_seg_fn(images):
+def dummy_seg_fn(seg_variables, images):
     """Deterministic fake segmenter: one box instance per image."""
     B, H, W, _ = images.shape
     inst = Instances.empty(B, 4, H, W)

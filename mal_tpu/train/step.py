@@ -102,12 +102,21 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         raise ValueError("cfg.temporal requires a segmentation seg_fn")
 
     def temporal_syn(batch, warped, seg_variables):
-        """Temporal-hint synthesized frames (`dyn_utils.py:121-170`)."""
+        """Temporal-hint synthesized frames (`dyn_utils.py:121-170`).
+
+        The reference runs Mask2Former three times per synthesis
+        (`dyn_utils.py:172-188`); stacking the triplet along the batch axis
+        runs ONE segmenter forward at 3B — same math, better MXU utilization
+        on the windowed attention."""
         from mal_tpu.temporal import image_synthesis
 
-        inst_cur = seg_fn(seg_variables, batch["color"]["0"])
-        inst_last = seg_fn(seg_variables, warped[0])
-        inst_next = seg_fn(seg_variables, warped[1])
+        B = batch["color"]["0"].shape[0]
+        triplet = jnp.concatenate(
+            [batch["color"]["0"], warped[0], warped[1]], axis=0)
+        inst = seg_fn(seg_variables, triplet)
+        inst_cur, inst_last, inst_next = (
+            jax.tree.map(lambda x: x[i * B:(i + 1) * B], inst)
+            for i in range(3))
         syn_l, syn_n, _ = image_synthesis(
             warped[0], warped[1], inst_cur, inst_last, inst_next,
             cfg.ins_threshold)

@@ -123,3 +123,39 @@ def test_trainer_loop_smoke():
     assert trainer.step == 3
     assert len(logs) == 3
     assert np.isfinite(logs[-1][1]["loss"])
+
+
+@pytest.mark.slow
+def test_trainer_resume_roundtrip(tmp_path):
+    """Mid-run checkpoint -> fresh Trainer -> resume restores step + params
+    (the reference has no mid-epoch resume at all; SURVEY.md §5)."""
+    from mal_tpu.train.trainer import MetricLogger, Trainer
+    from mal_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = SMALL.replace(log_every=10**9, validate_every=10**9, ckpt_dir="")
+
+    class Loader:
+        def __init__(self):
+            self.batches = [
+                jax.device_get(synthetic_batch(cfg, jax.random.PRNGKey(i), 2))
+                for i in range(2)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def epoch(self, e):
+            return iter(self.batches)
+
+    t1 = Trainer(cfg, Loader(), num_devices=1, logger=MetricLogger(
+        sink=lambda m, s: None))
+    t1.run_epoch(0)
+    assert t1.step == 2
+    path = save_checkpoint(str(tmp_path / "ck"), jax.device_get(t1.state), cfg)
+
+    t2 = Trainer(cfg, Loader(), num_devices=1, logger=MetricLogger(
+        sink=lambda m, s: None))
+    resumed_step = t2.resume(path)
+    assert resumed_step == 2
+    p1 = jax.tree.leaves(jax.device_get(t1.state).params)[0]
+    p2 = jax.tree.leaves(jax.device_get(t2.state).params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

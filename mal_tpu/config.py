@@ -139,6 +139,9 @@ class Config:
     gap_factor_depth_ratio: int = 8
     phantom_grad_steps: int = 1   # --phantom_grad
     deq_tau: float = 1.0
+    # --n_losses: supervise N uniformly-spaced trajectory states (fixed-point
+    # correction, `depth_pose.py:491-500`); 1 = final state only (default)
+    deq_n_losses: int = 1
 
     # --- logging / checkpointing ---
     log_every: int = 50

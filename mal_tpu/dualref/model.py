@@ -251,6 +251,7 @@ class DEQDepthPose(nn.Module):
         state = DEQState(net0, depth0, pose0, jnp.ones((B,)))
         poses_t = [pose0]
         upds_t = [jnp.ones((B,))]
+        states_t: list[DEQState] = []  # post-eval states for --n_losses
         solve_state = jax.tree.map(lax.stop_gradient, state) if train else state
         if cfg.deq_solver == "anderson":
             from mal_tpu.dualref.solvers import anderson_solver_aux
@@ -283,6 +284,10 @@ class DEQDepthPose(nn.Module):
             solve_state = DEQState(n_star, d_star, res.aux[0], res.aux[1])
             poses_t += list(res.aux_trajectory[0])
             upds_t += list(res.aux_trajectory[1])
+            for i in range(res.z_trajectory.shape[0]):
+                zn, zd = unflatten(res.z_trajectory[i])
+                states_t.append(DEQState(zn, zd, res.aux_trajectory[0][i],
+                                         res.aux_trajectory[1][i]))
         else:
             for _ in range(num_iters):
                 solve_state = deq_func(solve_state)
@@ -290,6 +295,7 @@ class DEQDepthPose(nn.Module):
                     solve_state = jax.tree.map(lax.stop_gradient, solve_state)
                 poses_t.append(solve_state.pose)
                 upds_t.append(solve_state.upd_norm)
+                states_t.append(solve_state)
         state_star = solve_state
 
         # pose with the minimum update norm over the trajectory
@@ -300,14 +306,21 @@ class DEQDepthPose(nn.Module):
             poses_t, best[None, :, None, None], axis=0)[0]
 
         if train:
-            # phantom gradient on the final state (tau-damped single unroll)
-            z = DEQState(lax.stop_gradient(state_star.net),
-                         lax.stop_gradient(state_star.depth),
-                         lax.stop_gradient(state_star.pose),
-                         state_star.upd_norm)
-            for _ in range(cfg.phantom_grad_steps):
-                z = deq_func(z)
-            final_states = [z]
+            # Fixed-point correction (`--n_losses`, `depth_pose.py:491-500`):
+            # supervise n uniformly-spaced trajectory states, each through a
+            # phantom-gradient unroll from its detached value. n_losses=1
+            # reduces to the final state (the reference default).
+            n_loss = max(cfg.deq_n_losses, 1)
+            n_avail = len(states_t)
+            delta = max(n_avail // n_loss, 1)
+            sel = sorted({min((k + 1) * delta, n_avail) - 1
+                          for k in range(n_loss)})
+            final_states = []
+            for idx in sel:
+                z = jax.tree.map(lax.stop_gradient, states_t[idx])
+                for _ in range(cfg.phantom_grad_steps):
+                    z = deq_func(z)
+                final_states.append(z)
         else:
             final_states = [state_star]
 

@@ -168,6 +168,7 @@ class AuxSolverResult(NamedTuple):
     result: Array        # final iterate (B, D)
     aux: Any             # aux state after the final f evaluation
     aux_trajectory: Any  # aux emitted at EVERY f evaluation (leading axis T)
+    z_trajectory: Array  # f(z) after every evaluation (T, B, D)
     rel_trace: Array
     abs_trace: Array
 
@@ -234,7 +235,8 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
         z_star = f1
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
         zero = jnp.zeros((0,), z0.dtype)
-        return AuxSolverResult(z_star, aux, traj, zero, zero)
+        return AuxSolverResult(z_star, aux, traj, jnp.stack([f0, f1]),
+                               zero, zero)
 
     ks = jnp.arange(2, n_scan + 2)
     (_, _, aux_star), (zs, auxs, abs_t, rel_t) = lax.scan(
@@ -243,7 +245,8 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
     warm = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
     traj = jax.tree.map(lambda w, s: jnp.concatenate([w, s], axis=0),
                         warm, auxs)
-    return AuxSolverResult(z_star, aux_star, traj, rel_t, abs_t)
+    z_traj = jnp.concatenate([jnp.stack([f0, f1]), zs], axis=0)
+    return AuxSolverResult(z_star, aux_star, traj, z_traj, rel_t, abs_t)
 
 
 def phantom_grad(f: Callable, z_star: Array, steps: int = 1,

@@ -69,25 +69,37 @@ def make_dualref_train_step(cfg: Config, model,
             total += loss0 + cfg.disparity_smoothness * sm0
             metrics["reproj_0"] = loss0
 
-            # --- refined state: disp_0_1 + refined pose, consistency-masked ---
-            r1, m1, depth1 = reproj_loss_at(out["disp_0_1"], pose_star,
-                                            jax.random.fold_in(rng_noise, 1))
-            if "consistency_mask" in out:
-                cmask = resize_bilinear(
-                    out["consistency_mask"].astype(r1.dtype), H, W)
-                m1 = m1 * cmask
-            cons_mask = 1.0 - m1
-            loss1 = jnp.sum(r1 * m1) / (jnp.sum(m1) + 1e-7)
-            consistency = jnp.mean(
-                jnp.abs(depth1 - jax.lax.stop_gradient(depth0)) * cons_mask)
-            sm1 = losses.normalized_smooth_loss(out["disp_0_1"], color0)
-            total += loss1 + consistency + cfg.disparity_smoothness * sm1
-            metrics["reproj_1"] = loss1
-            metrics["consistency_loss"] = consistency
+            # --- refined trajectory states: disp_0_k + refined pose,
+            # consistency-masked (`trainer.py:530-697` sums losses over every
+            # supervised ("disp", scale, deq_iter) state; k>1 only with
+            # --n_losses fixed-point correction) ---
+            ks = []
+            k = 1
+            while f"disp_0_{k}" in out:
+                ks.append(k)
+                k += 1
+            for k in ks:
+                r1, m1, depth1 = reproj_loss_at(
+                    out[f"disp_0_{k}"], pose_star,
+                    jax.random.fold_in(rng_noise, k))
+                if "consistency_mask" in out:
+                    cmask = resize_bilinear(
+                        out["consistency_mask"].astype(r1.dtype), H, W)
+                    m1 = m1 * cmask
+                cons_mask = 1.0 - m1
+                loss1 = jnp.sum(r1 * m1) / (jnp.sum(m1) + 1e-7)
+                consistency = jnp.mean(
+                    jnp.abs(depth1 - jax.lax.stop_gradient(depth0))
+                    * cons_mask)
+                sm1 = losses.normalized_smooth_loss(out[f"disp_0_{k}"], color0)
+                total += loss1 + consistency + cfg.disparity_smoothness * sm1
+                if k == ks[-1]:
+                    metrics["reproj_1"] = loss1
+                    metrics["consistency_loss"] = consistency
 
-            # --- scale-2 smoothness for both states (`trainer.py:626-630`) ---
+            # --- scale-2 smoothness for all states (`trainer.py:626-630`) ---
             color_s2 = resize_bilinear(color0, H // 4, W // 4)
-            for k in (0, 1):
+            for k in [0] + ks:
                 sm = losses.normalized_smooth_loss(out[f"disp_2_{k}"], color_s2)
                 total += cfg.disparity_smoothness * sm / 4.0
 

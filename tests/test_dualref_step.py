@@ -83,3 +83,39 @@ def test_freeze_backbone_trains_student_only():
         assert moved(frozen) == 0.0, frozen
     assert moved("update_block") > 0.0
     assert moved("context") > 0.0
+
+
+@pytest.mark.slow
+def test_n_losses_trajectory_supervision():
+    """--n_losses > 1 supervises multiple trajectory states: the model emits
+    disp_0_1..disp_0_n and the step trains on all of them."""
+    cfg = CFG.replace(deq_n_losses=2, deq_iters=4)
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng, batch_size=1)
+    variables = model.init(rng, batch["color_aug"]["0"],
+                           batch["color_aug"]["-1"], batch["K"],
+                           invert=True, train=True)
+    out, _ = model.apply(variables, batch["color_aug"]["0"],
+                         batch["color_aug"]["-1"], batch["K"], invert=True,
+                         train=True,
+                         mutable=["batch_stats"])[0]
+    assert "disp_0_1" in out and "disp_0_2" in out
+    assert "disp_0_3" not in out
+
+    params = variables["params"]
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(params),
+                       bins=DepthBinTracker.create(),
+                       balancer=LossBalancerState.create())
+    step = jax.jit(make_dualref_train_step(cfg, model, tx))
+    state1, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # eval still emits exactly one refined state
+    out_eval, _ = model.apply(variables, batch["color_aug"]["0"],
+                              batch["color_aug"]["-1"], batch["K"],
+                              invert=True, train=False, mutable=False)
+    assert "disp_0_1" in out_eval and "disp_0_2" not in out_eval

@@ -1,0 +1,288 @@
+"""Shims that make the reference's own code importable/runnable on this host.
+
+The reference (`/root/reference`) is the parity oracle: its eval pipelines are
+executed directly (not re-implemented) and compared against mal_tpu. This
+environment lacks `torchvision`, `skimage`, and CUDA, so we install:
+
+- a faithful standard torchvision-resnet stub (`torchvision.models.resnet`,
+  public textbook architecture: the reference only needs the module structure
+  and state-dict layout; weights are random + converted, so init distributions
+  are irrelevant),
+- a minimal `torchvision.transforms` (ToTensor / Resize / ColorJitter — the
+  eval path only uses ToTensor and PIL Resize),
+- a `skimage.transform.resize` stub (order-0 nearest; only touched by
+  velodyne-GT loading, which the synthetic trees do not exercise),
+- `PIL.Image.ANTIALIAS` (removed in Pillow>=10; the reference pins it at
+  `manydepth/datasets/mono_dataset.py:56`) aliased to LANCZOS,
+- `.cuda()` no-ops on CPU-only torch (`manydepth/evaluate_depth.py:99` calls
+  `.cuda()` unconditionally).
+
+Nothing here touches `/root/reference` on disk.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# torchvision.models.resnet — standard architecture
+# ---------------------------------------------------------------------------
+
+def _build_torchvision_stub():
+    import torch
+    import torch.nn as nn
+
+    def conv3x3(inp, out, stride=1):
+        return nn.Conv2d(inp, out, kernel_size=3, stride=stride, padding=1,
+                         bias=False)
+
+    def conv1x1(inp, out, stride=1):
+        return nn.Conv2d(inp, out, kernel_size=1, stride=stride, bias=False)
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = conv1x1(inplanes, planes)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = conv3x3(planes, planes, stride)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = conv1x1(planes, planes * self.expansion)
+            self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000, **kwargs):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, kernel_size=7, stride=2, padding=3,
+                                   bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+            self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+            self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+            for m in self.modules():
+                if isinstance(m, nn.Conv2d):
+                    nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                            nonlinearity="relu")
+                elif isinstance(m, nn.BatchNorm2d):
+                    nn.init.constant_(m.weight, 1)
+                    nn.init.constant_(m.bias, 0)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    conv1x1(self.inplanes, planes * block.expansion, stride),
+                    nn.BatchNorm2d(planes * block.expansion))
+            layers = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, blocks):
+                layers.append(block(self.inplanes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = torch.flatten(self.avgpool(x), 1)
+            return self.fc(x)
+
+    def _factory(block, layers):
+        def make(pretrained=False, **kwargs):
+            assert not pretrained, "stub torchvision has no pretrained weights"
+            return ResNet(block, layers, **kwargs)
+        return make
+
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    resnet_mod.BasicBlock = BasicBlock
+    resnet_mod.Bottleneck = Bottleneck
+    resnet_mod.ResNet = ResNet
+    resnet_mod.conv3x3 = conv3x3
+    resnet_mod.conv1x1 = conv1x1
+    resnet_mod.model_urls = {f"resnet{n}": f"stub://resnet{n}"
+                             for n in (18, 34, 50, 101, 152)}
+    resnet_mod.resnet18 = _factory(BasicBlock, [2, 2, 2, 2])
+    resnet_mod.resnet34 = _factory(BasicBlock, [3, 4, 6, 3])
+    resnet_mod.resnet50 = _factory(Bottleneck, [3, 4, 6, 3])
+    resnet_mod.resnet101 = _factory(Bottleneck, [3, 4, 23, 3])
+    resnet_mod.resnet152 = _factory(Bottleneck, [3, 8, 36, 3])
+
+    models_mod = types.ModuleType("torchvision.models")
+    models_mod.resnet = resnet_mod
+    for name in ("ResNet", "resnet18", "resnet34", "resnet50", "resnet101",
+                 "resnet152"):
+        setattr(models_mod, name, getattr(resnet_mod, name))
+
+    # -- transforms ---------------------------------------------------------
+    from PIL import Image, ImageEnhance
+
+    class ToTensor:
+        def __call__(self, pic):
+            if isinstance(pic, torch.Tensor):
+                return pic
+            arr = np.array(pic, np.uint8, copy=True)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1)).contiguous()
+            return t.float().div(255)
+
+    class Resize:
+        def __init__(self, size, interpolation=Image.BILINEAR, **kwargs):
+            self.size = tuple(size)  # (h, w)
+            self.interpolation = interpolation
+
+        def __call__(self, img):
+            h, w = self.size
+            if isinstance(img, Image.Image):
+                return img.resize((w, h), self.interpolation)
+            t = img if img.dim() == 4 else img[None]
+            out = torch.nn.functional.interpolate(
+                t, size=(h, w), mode="bilinear", align_corners=False)
+            return out if img.dim() == 4 else out[0]
+
+    class ColorJitter:
+        """Enough of torchvision's ColorJitter for MonoDataset: tuple ranges
+        + get_params; eval paths never call it (do_color_aug=False)."""
+
+        def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+            self.brightness = self._range(brightness, 1.0)
+            self.contrast = self._range(contrast, 1.0)
+            self.saturation = self._range(saturation, 1.0)
+            self.hue = self._range(hue, 0.0)
+
+        @staticmethod
+        def _range(v, center):
+            if isinstance(v, (tuple, list)):
+                return tuple(v)
+            return (max(0.0, center - v), center + v)
+
+        @staticmethod
+        def get_params(brightness, contrast, saturation, hue):
+            if not all(isinstance(v, (tuple, list))
+                       for v in (brightness, contrast, saturation, hue)):
+                raise TypeError("tuple ranges required")
+            import random as _random
+            fb = _random.uniform(*brightness)
+            fc = _random.uniform(*contrast)
+            fs = _random.uniform(*saturation)
+            fh = _random.uniform(*hue)
+
+            def apply(img):
+                img = ImageEnhance.Brightness(img).enhance(fb)
+                img = ImageEnhance.Contrast(img).enhance(fc)
+                img = ImageEnhance.Color(img).enhance(fs)
+                if abs(fh) > 1e-6:
+                    hch, s, v = img.convert("HSV").split()
+                    hch = hch.point(lambda x: (x + int(fh * 255)) % 256)
+                    img = Image.merge("HSV", (hch, s, v)).convert("RGB")
+                return img
+            return apply
+
+        def __call__(self, img):
+            return self.get_params(self.brightness, self.contrast,
+                                   self.saturation, self.hue)(img)
+
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    transforms_mod.ToTensor = ToTensor
+    transforms_mod.Resize = Resize
+    transforms_mod.ColorJitter = ColorJitter
+
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.0.stub"
+    tv.models = models_mod
+    tv.transforms = transforms_mod
+    return {"torchvision": tv,
+            "torchvision.models": models_mod,
+            "torchvision.models.resnet": resnet_mod,
+            "torchvision.transforms": transforms_mod}
+
+
+def _build_skimage_stub():
+    def resize(image, output_shape, order=1, preserve_range=False,
+               mode="constant", anti_aliasing=None):
+        image = np.asarray(image)
+        h, w = int(output_shape[0]), int(output_shape[1])
+        ys = np.clip(np.round((np.arange(h) + 0.5) * image.shape[0] / h - 0.5),
+                     0, image.shape[0] - 1).astype(np.int64)
+        xs = np.clip(np.round((np.arange(w) + 0.5) * image.shape[1] / w - 0.5),
+                     0, image.shape[1] - 1).astype(np.int64)
+        out = image[ys][:, xs]
+        return out if preserve_range else out.astype(np.float64)
+
+    transform_mod = types.ModuleType("skimage.transform")
+    transform_mod.resize = resize
+    sk = types.ModuleType("skimage")
+    sk.transform = transform_mod
+    return {"skimage": sk, "skimage.transform": transform_mod}
+
+
+_installed = False
+
+
+def install_reference_shims():
+    """Idempotently install stubs + path so `/root/reference` packages import."""
+    global _installed
+    if _installed:
+        return
+    import torch
+    import torch.nn as nn
+
+    for name, mod in {**_build_torchvision_stub(),
+                      **_build_skimage_stub()}.items():
+        sys.modules.setdefault(name, mod)
+
+    from PIL import Image
+    if not hasattr(Image, "ANTIALIAS"):
+        Image.ANTIALIAS = Image.LANCZOS
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        nn.Module.cuda = lambda self, *a, **k: self
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _installed = True

@@ -46,7 +46,7 @@ def _build_loaders(cfg: Config, shard=None):
                 cfg.frames_to_load, is_train=True,
                 img_ext=".png" if cfg.png else ".jpg")
     return DataLoader(ds, cfg.batch_size, shuffle=True, drop_last=True,
-                      shard=shard)
+                      shard=shard if shard is not None else (0, 1))
 
 
 def cmd_train(args):

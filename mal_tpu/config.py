@@ -127,6 +127,7 @@ class Config:
     # --- dualrefine options (DEQ refinement) ---
     # defaults mirror `dualrefine/options.py:142-230`
     deq_solver: str = "anderson"  # --f_solver: anderson | iteration
+    deq_stop_mode: str = "abs"    # --stop_mode: abs | rel (lowest-iterate pick)
     deq_iters: int = 6            # --f_thres
     # freeze schedule (`dualrefine/options.py:118-135`, trainer.py:207-213):
     # at freeze_teacher_epoch only the refinement student (conv2 / context /

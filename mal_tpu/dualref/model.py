@@ -277,7 +277,8 @@ class DEQDepthPose(nn.Module):
 
             res = anderson_solver_aux(
                 vec_f, flatten(solve_state.net, solve_state.depth),
-                (solve_state.pose, solve_state.upd_norm), steps=num_iters)
+                (solve_state.pose, solve_state.upd_norm), steps=num_iters,
+                stop_mode=cfg.deq_stop_mode)
             if train:
                 res = jax.tree.map(lax.stop_gradient, res)
             n_star, d_star = unflatten(res.result)

@@ -165,7 +165,7 @@ def broyden_solver(f: Callable, z0: Array, steps: int,
 
 
 class AuxSolverResult(NamedTuple):
-    result: Array        # final iterate (B, D)
+    result: Array        # lowest-residual iterate per stop_mode (B, D)
     aux: Any             # aux state after the final f evaluation
     aux_trajectory: Any  # aux emitted at EVERY f evaluation (leading axis T)
     z_trajectory: Array  # f(z) after every evaluation (T, B, D)
@@ -174,8 +174,8 @@ class AuxSolverResult(NamedTuple):
 
 
 def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
-                        m: int = 6, lam: float = 1e-4,
-                        beta: float = 1.0) -> AuxSolverResult:
+                        m: int = 6, lam: float = 1e-4, beta: float = 1.0,
+                        stop_mode: str = "abs") -> AuxSolverResult:
     """Anderson acceleration over z with un-mixed auxiliary state.
 
     Matches the reference's solver usage (`depth_pose.py:517-530` with the
@@ -187,7 +187,15 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
 
     `f(z, aux) -> (z_new, aux_new)`. `steps` counts TOTAL f evaluations,
     like the DEQ lib's `threshold` (2 warmup evals + threshold-2 iterations).
-    """
+
+    DEQ-lib semantics, verified against the reference oracle
+    (tests/test_ref_oracle_dualref.py): `result` is the Anderson-mixed
+    iterate X_k (pre-f-application) with the LOWEST residual
+    ||f(X_k) - X_k|| measured as a single global L2 norm over the whole
+    batch, selected by `stop_mode` ('abs' — the reference's
+    `--stop_mode` default — or 'rel'); the two warmup evaluations are not
+    candidates. With steps <= 2 the result is z0 (the deq-lib loop body
+    never runs)."""
     B, D = z0.shape
     X = jnp.zeros((m, B, D), z0.dtype)
     F = jnp.zeros((m, B, D), z0.dtype)
@@ -223,25 +231,29 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
         z_new = (beta * jnp.einsum("bi,ibd->bd", alpha, F)
                  + (1 - beta) * jnp.einsum("bi,ibd->bd", alpha, X))
         f_new, aux_new = f(z_new, aux)
-        a, r = _residuals(f_new, z_new)
+        # deq-lib residuals: one global L2 norm across the whole batch
+        a = jnp.linalg.norm(f_new - z_new)
+        r = a / (1e-5 + jnp.linalg.norm(f_new))
 
         slot = k % m
         X = X.at[slot].set(z_new)
         F = F.at[slot].set(f_new)
-        return (X, F, aux_new), (f_new, aux_new, a, r)
+        return (X, F, aux_new), (z_new, f_new, aux_new, a, r)
 
     n_scan = max(steps - 2, 0)
     if n_scan == 0:
-        z_star = f1
+        # deq-lib: with threshold <= 2 the mixing loop never runs and the
+        # returned "lowest" iterate is the unmodified x0
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
         zero = jnp.zeros((0,), z0.dtype)
-        return AuxSolverResult(z_star, aux, traj, jnp.stack([f0, f1]),
+        return AuxSolverResult(z0, aux, traj, jnp.stack([f0, f1]),
                                zero, zero)
 
     ks = jnp.arange(2, n_scan + 2)
-    (_, _, aux_star), (zs, auxs, abs_t, rel_t) = lax.scan(
+    (_, _, aux_star), (xs_mix, zs, auxs, abs_t, rel_t) = lax.scan(
         body, (X, F, aux), ks)
-    z_star = zs[-1]
+    trace = abs_t if stop_mode == "abs" else rel_t
+    z_star = xs_mix[jnp.argmin(trace)]
     warm = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
     traj = jax.tree.map(lambda w, s: jnp.concatenate([w, s], axis=0),
                         warm, auxs)

@@ -164,11 +164,13 @@ def _build_torchvision_stub():
         def __call__(self, pic):
             if isinstance(pic, torch.Tensor):
                 return pic
-            arr = np.array(pic, np.uint8, copy=True)
+            arr = np.array(pic, copy=True)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             t = torch.from_numpy(arr.transpose(2, 0, 1)).contiguous()
-            return t.float().div(255)
+            if arr.dtype == np.uint8:  # torchvision scales only byte images
+                return t.float().div(255)
+            return t.float()
 
     class Resize:
         def __init__(self, size, interpolation=Image.BILINEAR, **kwargs):
@@ -241,6 +243,114 @@ def _build_torchvision_stub():
             "torchvision.transforms": transforms_mod}
 
 
+def _build_yacs_stub():
+    class CfgNode(dict):
+        """Attribute-access dict (the slice of yacs the reference uses:
+        `dualrefine/networks/hrnet_config.py` builds static nested configs
+        read back via attribute and item access)."""
+
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError as e:
+                raise AttributeError(name) from e
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
+        def clone(self):
+            import copy
+            return copy.deepcopy(self)
+
+        def freeze(self):
+            return self
+
+        def defrost(self):
+            return self
+
+    config_mod = types.ModuleType("yacs.config")
+    config_mod.CfgNode = CfgNode
+    yacs_mod = types.ModuleType("yacs")
+    yacs_mod.config = config_mod
+    return {"yacs": yacs_mod, "yacs.config": config_mod}
+
+
+def _build_wandb_stub():
+    wandb = types.ModuleType("wandb")
+    wandb.run = None
+    wandb.init = lambda *a, **k: None
+    wandb.log = lambda *a, **k: None
+    wandb.finish = lambda *a, **k: None
+    wandb.config = {}
+    return {"wandb": wandb}
+
+
+def _build_detectron2_stub():
+    """Import-surface stub: `dynamicdepth/trainer.py:33-37` imports five
+    detectron2 symbols at module level but the eval_mode path never calls
+    them (`setup_cfg` additionally references the commented-out
+    `add_maskformer2_config` — SURVEY.md §1 known defects)."""
+    def _unavailable(*a, **k):
+        raise RuntimeError("detectron2 stub: not available in this env")
+
+    config_mod = types.ModuleType("detectron2.config")
+    config_mod.get_cfg = _unavailable
+    config_mod.CfgNode = dict
+    deeplab_mod = types.ModuleType("detectron2.projects.deeplab")
+    deeplab_mod.add_deeplab_config = _unavailable
+    projects_mod = types.ModuleType("detectron2.projects")
+    projects_mod.deeplab = deeplab_mod
+    modeling_mod = types.ModuleType("detectron2.modeling")
+    modeling_mod.build_model = _unavailable
+    checkpoint_mod = types.ModuleType("detectron2.checkpoint")
+    checkpoint_mod.DetectionCheckpointer = _unavailable
+    d2 = types.ModuleType("detectron2")
+    d2.config = config_mod
+    d2.projects = projects_mod
+    d2.modeling = modeling_mod
+    d2.checkpoint = checkpoint_mod
+    return {"detectron2": d2, "detectron2.config": config_mod,
+            "detectron2.projects": projects_mod,
+            "detectron2.projects.deeplab": deeplab_mod,
+            "detectron2.modeling": modeling_mod,
+            "detectron2.checkpoint": checkpoint_mod}
+
+
+def _build_torch_sparse_stub():
+    """`torch_sparse.coalesce` with op='max' — the one entry point the
+    reference uses (`dynamicdepth/rigid_warp.py:7,571-599`): dedupe sparse
+    (row, col) indices, reducing duplicate values by max."""
+    import torch
+
+    def coalesce(index, value, m, n, op="add"):
+        row, col = index[0].long(), index[1].long()
+        lin = row * n + col
+        uniq, inv = torch.unique(lin, return_inverse=True)
+        out = torch.zeros(uniq.numel(), *value.shape[1:], dtype=value.dtype,
+                          device=value.device)
+        if op == "max":
+            out = out.scatter_reduce(
+                0, inv[:, None].expand_as(value) if value.dim() > 1 else inv,
+                value, reduce="amax", include_self=False)
+        elif op == "add":
+            out = out.index_add(0, inv, value)
+        elif op == "mean":
+            out = out.index_add(0, inv, value)
+            cnt = torch.zeros(uniq.numel(), dtype=value.dtype,
+                              device=value.device).index_add(
+                0, inv, torch.ones_like(inv, dtype=value.dtype))
+            out = out / cnt.clamp(min=1).reshape(
+                -1, *([1] * (value.dim() - 1)))
+        else:
+            raise NotImplementedError(op)
+        new_index = torch.stack([uniq // n, uniq % n], 0)
+        return new_index, out
+
+    ts = types.ModuleType("torch_sparse")
+    ts.coalesce = coalesce
+    return {"torch_sparse": ts}
+
+
 def _build_skimage_stub():
     def resize(image, output_shape, order=1, preserve_range=False,
                mode="constant", anti_aliasing=None):
@@ -271,8 +381,15 @@ def install_reference_shims():
     import torch
     import torch.nn as nn
 
+    from tests.ref_oracle.deq_lib import build_lib_modules
+
     for name, mod in {**_build_torchvision_stub(),
-                      **_build_skimage_stub()}.items():
+                      **_build_skimage_stub(),
+                      **_build_yacs_stub(),
+                      **_build_wandb_stub(),
+                      **_build_detectron2_stub(),
+                      **_build_torch_sparse_stub(),
+                      **build_lib_modules("dualrefine.networks")}.items():
         sys.modules.setdefault(name, mod)
 
     from PIL import Image

@@ -12,15 +12,42 @@ from mal_tpu.temporal import _bbox_bounds, _shift2d, image_synthesis
 
 
 def test_hungarian_matches_scipy():
+    """JV solve is exact at every size incl. beyond the old N<=8 cap."""
     rng = np.random.RandomState(0)
-    for n in (2, 3, 5, 8):
+    for n in (2, 3, 5, 8, 16, 32):
         for _ in range(5):
             C = rng.uniform(0, 10, (n, n)).astype(np.float32)
             row_of_col = np.asarray(hungarian_match(jnp.asarray(C)))
             cols = np.arange(n)
+            assert sorted(row_of_col.tolist()) == list(range(n))
             ours = C[row_of_col, cols].sum()
             ri, ci = linear_sum_assignment(C)
             np.testing.assert_allclose(ours, C[ri, ci].sum(), rtol=1e-6)
+
+
+def test_hungarian_matches_bruteforce():
+    from mal_tpu.segment.matcher import hungarian_match_bruteforce
+
+    rng = np.random.RandomState(3)
+    for n in (2, 4, 7):
+        C = rng.uniform(0, 5, (n, n)).astype(np.float32)
+        jv = np.asarray(hungarian_match(jnp.asarray(C)))
+        bf = np.asarray(hungarian_match_bruteforce(jnp.asarray(C)))
+        cols = np.arange(n)
+        np.testing.assert_allclose(C[jv, cols].sum(), C[bf, cols].sum(),
+                                   rtol=1e-6)
+
+
+def test_hungarian_with_big_invalid_costs():
+    """Padded-slot costs (_BIG) must not destabilize the JV duals."""
+    rng = np.random.RandomState(5)
+    for n, valid in ((8, 3), (16, 5)):
+        C = np.full((n, n), 1e6, np.float32)
+        C[:valid, :valid] = rng.uniform(0, 2, (valid, valid))
+        row_of_col = np.asarray(hungarian_match(jnp.asarray(C)))
+        ri, ci = linear_sum_assignment(C)
+        np.testing.assert_allclose(
+            C[row_of_col, np.arange(n)].sum(), C[ri, ci].sum(), rtol=1e-6)
 
 
 def test_dice_cost_identical_masks():

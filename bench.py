@@ -12,9 +12,15 @@ trunks + bf16 MXU cost-volume, `mal_tpu.config.TRAIN_FAST_SETTINGS` — the
 `temporal_fps` runs the step with the MAL temporal hint enabled (3 frozen
 Mask2Former Swin-L forwards per step, `manydepth/trainer.py:1161-1165`).
 
-`vs_baseline`: the reference publishes no numbers (BASELINE.md); we use an
-estimated 50 frames/s A100 training throughput for the same model/batch as a
-fixed comparison denominator until reference hardware numbers exist.
+`vs_baseline`: the reference publishes no numbers (BASELINE.md). The
+denominator is DERIVED at runtime: `benchmarks/baseline_ref.py` measured the
+reference's own torch step and the mal_tpu step at the SAME speed on this
+host's CPU (33.06 vs 32.91 s/step — framework ratio 1.004), and both are
+bandwidth-bound (benchmarks/PROFILE.md), so the reference's A100 throughput
+is estimated as our measured v5e fp32 fps x (A100-80GB HBM 2039 GB/s /
+v5e 819 GB/s) x 1.004. `v5p_projected_fps` applies the v5p/v5e bandwidth
+ratio (2765/819) to the headline for the >=4x-on-v5p north star. Full
+arithmetic: BASELINE.md "Derived throughput baseline".
 """
 
 from __future__ import annotations
@@ -34,7 +40,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp
 
-ESTIMATED_REFERENCE_FPS = 50.0  # A100 estimate; see module docstring
+# public vendor HBM bandwidths (GB/s) + the measured same-silicon framework
+# ratio from benchmarks/baseline_ref.py — see module docstring / BASELINE.md
+A100_BW, V5E_BW, V5P_BW = 2039.0, 819.0, 2765.0
+TORCH_OVER_JAX_SAME_SILICON = 33.06 / 32.91  # 1.004, measured round 3
 
 
 def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
@@ -130,12 +139,17 @@ def main():
         except Exception as e2:
             print(f"# temporal bench skipped: {type(e2).__name__}: {e2}")
 
+    # derived reference-A100 estimate (BASELINE.md): bandwidth-bound step,
+    # measured same-silicon framework parity
+    ref_a100_est = fps_fp32 * (A100_BW / V5E_BW) * TORCH_OVER_JAX_SAME_SILICON
     out = {
         "metric": "train_frames_per_sec_per_chip_640x192",
         "value": round(fps_fast, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps_fast / ESTIMATED_REFERENCE_FPS, 3),
+        "vs_baseline": round(fps_fast / ref_a100_est, 3),
         "fp32_fps": round(fps_fp32, 2),
+        "ref_a100_est_fps": round(ref_a100_est, 1),
+        "v5p_projected_fps": round(fps_fast * (V5P_BW / V5E_BW), 1),
     }
     if temporal_fps is not None:
         key = "temporal_fps_derived" if temporal_derived else "temporal_fps"

@@ -75,6 +75,40 @@ def time_forward(cfg, n_iters=10):
     return (time.perf_counter() - t0) / n_iters
 
 
+def time_loss_forward(cfg, n_iters=10):
+    """Full loss_fn forward (model + warps + losses), no backward: patch
+    jax.grad inside make_train_step to a value-only evaluation."""
+    from unittest import mock
+
+    from mal_tpu.data.synthetic import synthetic_batch
+    from mal_tpu.models import MALModel
+    from mal_tpu.train.state import create_train_state, make_optimizer
+    from mal_tpu.train.step import make_train_step
+
+    def fake_grad(f, has_aux=False):
+        def run(p):
+            val, aux = f(p)
+            return jax.tree.map(jnp.zeros_like, p), aux
+        return run
+
+    model = MALModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(cfg, rng)
+    state = create_train_state(cfg, model, rng, batch)
+    tx = make_optimizer(cfg)
+    with mock.patch("jax.grad", fake_grad):
+        step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+        epoch = jnp.zeros(())
+        state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch)
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, metrics = step(state, batch, jax.random.PRNGKey(2 + i),
+                                  epoch)
+        float(jax.device_get(metrics["loss"]))
+    return (time.perf_counter() - t0) / n_iters
+
+
 def main():
     from mal_tpu.config import TRAIN_FAST_SETTINGS, Config
 
@@ -84,6 +118,7 @@ def main():
     variants = {
         "fast": lambda: time_step(fast),
         "forward_only": lambda: time_forward(fast),
+        "loss_fwd": lambda: time_loss_forward(fast),
         "no_distil": lambda: time_step(fast.replace(distil=False,
                                                     use_ensemble=False)),
         "no_loss_blc": lambda: time_step(fast.replace(loss_blc=False)),

@@ -45,8 +45,22 @@ def _build_loaders(cfg: Config, shard=None):
     ds = ds_cls(cfg.data_path, train_files, cfg.height, cfg.width,
                 cfg.frames_to_load, is_train=True,
                 img_ext=".png" if cfg.png else ".jpg")
+    shard = shard if shard is not None else (0, 1)
+
+    # production path: threaded native decode + background prefetch
+    # (`manydepth/trainer.py:270-316` num_workers equivalent); fall back to
+    # the single-threaded PIL loader when the native lib or path-addressable
+    # dataset API is unavailable
+    if cfg.native_loader:
+        from mal_tpu.data import native
+        from mal_tpu.data.fast_loader import NativePrefetchLoader
+
+        if native.available() and hasattr(ds, "get_image_path"):
+            return NativePrefetchLoader(
+                ds, cfg.batch_size, shuffle=True, drop_last=True,
+                shard=shard, num_threads=max(cfg.num_workers, 1))
     return DataLoader(ds, cfg.batch_size, shuffle=True, drop_last=True,
-                      shard=shard if shard is not None else (0, 1))
+                      shard=shard)
 
 
 def cmd_train(args):

@@ -102,6 +102,7 @@ class Config:
     eval_split: str = "eigen"
     png: bool = False
     num_workers: int = 8
+    native_loader: bool = True    # threaded C++ decode + prefetch for train
 
     # --- dynamicdepth options (occlusion-aware cost volume / DOMD warp) ---
     # pool radius/threshold defaults follow the reference CLI defaults
@@ -140,6 +141,12 @@ class Config:
     gap_factor_depth_ratio: int = 8
     phantom_grad_steps: int = 1   # --phantom_grad
     deq_tau: float = 1.0
+    deq_ift: bool = False         # --ift: IFT backward instead of phantom
+    deq_safe_ift: bool = False    # --safe_ift: freeze a diverging adjoint
+    deq_b_thres: int = 6          # --b_thres: adjoint solve iterations
+    deq_sup_all: bool = False     # --sup_all: supervise every phantom step
+    deq_indexing: tuple[int, ...] = ()  # --indexing: trajectory tap points
+    robust_pose_loss: bool = False  # --robust_pose_loss: Barron GN weights
     # --n_losses: supervise N uniformly-spaced trajectory states (fixed-point
     # correction, `depth_pose.py:491-500`); 1 = final state only (default)
     deq_n_losses: int = 1

@@ -236,7 +236,8 @@ class DEQDepthPose(nn.Module):
             for _ in range(cfg.num_pose_iter):
                 c_p, P2 = self.reproject.depth2gradcoords(pose, new_depth, K2)
                 pose, upd = direct_align(pose, K2, c_p, P2, fmap1, fmap2,
-                                         src_w, tgt_w, weight)
+                                         src_w, tgt_w, weight,
+                                         robust_pose_loss=cfg.robust_pose_loss)
             return DEQState(net, new_depth, pose,
                             jnp.linalg.norm(upd, axis=-1))
 
@@ -253,27 +254,28 @@ class DEQDepthPose(nn.Module):
         upds_t = [jnp.ones((B,))]
         states_t: list[DEQState] = []  # post-eval states for --n_losses
         solve_state = jax.tree.map(lax.stop_gradient, state) if train else state
+
+        h, w = net0.shape[1:3]
+        nch = net0.shape[-1]
+
+        def flatten(net, depth):
+            return jnp.concatenate(
+                [net.reshape(B, -1), depth.reshape(B, -1)], axis=1)
+
+        def unflatten(z):
+            n = z[:, :h * w * nch].reshape(B, h, w, nch)
+            d = z[:, h * w * nch:].reshape(B, h, w, 1)
+            return n, d
+
+        def vec_f(z, aux):
+            pose, _ = aux
+            net, depth = unflatten(z)
+            new = deq_func(DEQState(net, depth, pose, aux[1]))
+            return (flatten(new.net, new.depth),
+                    (new.pose, new.upd_norm))
+
         if cfg.deq_solver == "anderson":
             from mal_tpu.dualref.solvers import anderson_solver_aux
-
-            h, w = net0.shape[1:3]
-            nch = net0.shape[-1]
-
-            def flatten(net, depth):
-                return jnp.concatenate(
-                    [net.reshape(B, -1), depth.reshape(B, -1)], axis=1)
-
-            def unflatten(z):
-                n = z[:, :h * w * nch].reshape(B, h, w, nch)
-                d = z[:, h * w * nch:].reshape(B, h, w, 1)
-                return n, d
-
-            def vec_f(z, aux):
-                pose, _ = aux
-                net, depth = unflatten(z)
-                new = deq_func(DEQState(net, depth, pose, aux[1]))
-                return (flatten(new.net, new.depth),
-                        (new.pose, new.upd_norm))
 
             res = anderson_solver_aux(
                 vec_f, flatten(solve_state.net, solve_state.depth),
@@ -307,21 +309,51 @@ class DEQDepthPose(nn.Module):
             poses_t, best[None, :, None, None], axis=0)[0]
 
         if train:
-            # Fixed-point correction (`--n_losses`, `depth_pose.py:491-500`):
-            # supervise n uniformly-spaced trajectory states, each through a
-            # phantom-gradient unroll from its detached value. n_losses=1
-            # reduces to the final state (the reference default).
-            n_loss = max(cfg.deq_n_losses, 1)
+            # Fixed-point correction (`--n_losses` / `--indexing`,
+            # `depth_pose.py:491-500`): supervise the selected trajectory
+            # states, each through a phantom-gradient unroll from its
+            # detached value (n_losses=1 = the final state, the reference
+            # default). `--indexing i j ...` taps explicit solver steps
+            # (the reference appends f_thres as the final tap).
             n_avail = len(states_t)
-            delta = max(n_avail // n_loss, 1)
-            sel = sorted({min((k + 1) * delta, n_avail) - 1
-                          for k in range(n_loss)})
+            if cfg.deq_indexing:
+                sel = sorted({min(max(int(i), 1), n_avail) - 1
+                              for i in (*cfg.deq_indexing, n_avail)})
+            else:
+                n_loss = max(cfg.deq_n_losses, 1)
+                delta = max(n_avail // n_loss, 1)
+                sel = sorted({min((k + 1) * delta, n_avail) - 1
+                              for k in range(n_loss)})
             final_states = []
-            for idx in sel:
+            for pos, idx in enumerate(sel):
                 z = jax.tree.map(lax.stop_gradient, states_t[idx])
+                if cfg.deq_ift and pos == len(sel) - 1:
+                    # `--ift`: the last tap's gradient comes from the
+                    # implicit function theorem (`depth_pose.py:507-513`)
+                    # instead of phantom unrolling
+                    from mal_tpu.dualref.solvers import ift_output
+
+                    aux_frozen = (z.pose, z.upd_norm)
+
+                    def f_z(zz):
+                        return vec_f(zz, aux_frozen)[0]
+
+                    z_out = ift_output(f_z, flatten(z.net, z.depth),
+                                       b_steps=cfg.deq_b_thres,
+                                       safe=cfg.deq_safe_ift)
+                    zn, zd = unflatten(z_out)
+                    _, (pose_n, upd_n) = vec_f(flatten(z.net, z.depth),
+                                               aux_frozen)
+                    final_states.append(DEQState(zn, zd, pose_n, upd_n))
+                    continue
+                steps_out = []
                 for _ in range(cfg.phantom_grad_steps):
                     z = deq_func(z)
-                final_states.append(z)
+                    steps_out.append(z)
+                # `--sup_all`: every phantom step is supervised, not only
+                # the last (the DEQ lib's backward_factory(sup_all=True))
+                final_states.extend(steps_out if cfg.deq_sup_all
+                                    else steps_out[-1:])
         else:
             final_states = [state_star]
 

@@ -53,10 +53,29 @@ def sample_tgt(tgt_feat: Array, tgt_w: Array, p2: Array):
     return warped, grads, w_warp
 
 
+def barron_weight(cost: Array, c: float = 0.1) -> Array:
+    """IRLS weight of the Barron robust loss at alpha=0, scale c.
+
+    `scaled_barron(0, 0.1)` (`dualrefine/networks/utils/losses.py:38-82`):
+    scaled_loss evaluates barron_loss(x/c^2) whose alpha=0 first derivative
+    is 2/(x+2); the Gauss-Newton weighting uses that derivative directly
+    (`utils/utils.py:344-348`)."""
+    return 2.0 / (cost / (c * c) + 2.0)
+
+
+def _mask_in_image(coords: Array, w: int, h: int, pad: int = 2) -> Array:
+    """Valid-pixel mask for (B, 2, h, w) center-sample coords
+    (`utils/utils.py` `_mask_in_image`, pad=2)."""
+    x, y = coords[:, 0], coords[:, 1]
+    return ((x >= pad) & (x <= w - 1 - pad)
+            & (y >= pad) & (y <= h - 1 - pad)).astype(jnp.float32)
+
+
 def direct_align(poses: Array, K: Array, p2: Array, P2: Array,
                  src_feat: Array, tgt_feat: Array,
                  src_w: Array, tgt_w: Array,
-                 weight: Array | None = None):
+                 weight: Array | None = None,
+                 robust_pose_loss: bool = False):
     """One Gauss-Newton step on the feature-metric residual.
 
     poses: (B, 4, 4); K: (B, 4, 4) at feature scale; p2: (B,2,1,5,h,w)
@@ -91,6 +110,13 @@ def direct_align(poses: Array, K: Array, p2: Array, P2: Array,
     wmap = (src_w * warped_tgt_w)
     if weight is not None:
         wmap = wmap * weight
+    if robust_pose_loss:
+        # `--robust_pose_loss` (`utils/utils.py:344-355`): Barron IRLS
+        # weight on the squared channel-summed residual, masked to in-image
+        # center samples (pad=2)
+        cost = jnp.sum(res[..., 0] ** 2, axis=-1).reshape(B, h, w, 1)
+        valid = _mask_in_image(p2[:, :, 0, 0], w, h)[..., None]
+        wmap = wmap * barron_weight(cost) * valid
     wvec = wmap.reshape(B, N, 1, 1)
 
     JW = J * wvec

@@ -11,6 +11,7 @@ iterations from the detached fixed point.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, Callable, NamedTuple, Sequence
 
@@ -259,6 +260,50 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
                         warm, auxs)
     z_traj = jnp.concatenate([jnp.stack([f0, f1]), zs], axis=0)
     return AuxSolverResult(z_star, aux_star, traj, z_traj, rel_t, abs_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _ift_gate(z0, b_steps, safe, f_conv, *consts):
+    return f_conv(z0, *consts)
+
+
+def _ift_fwd(z0, b_steps, safe, f_conv, *consts):
+    return f_conv(z0, *consts), (z0, consts)
+
+
+def _ift_bwd(b_steps, safe, f_conv, res, g):
+    z0, consts = res
+    _, vjp_fn = jax.vjp(lambda z, *c: f_conv(z, *c), z0, *consts)
+    y = g
+    for _ in range(b_steps):
+        y_next = vjp_fn(y)[0] + g
+        if safe:  # --safe_ift: freeze the series if the adjoint diverges
+            finite = jnp.all(jnp.isfinite(y_next))
+            y_next = jnp.where(finite, y_next, y)
+        y = y_next
+    grads = vjp_fn(y)
+    return (jnp.zeros_like(z0), *grads[1:])
+
+
+_ift_gate.defvjp(_ift_fwd, _ift_bwd)
+
+
+def ift_output(f: Callable, z_star: Array, b_steps: int = 6,
+               safe: bool = False) -> Array:
+    """Implicit-function-theorem gradient through the fixed point (`--ift`,
+    `depth_pose.py:507-513` / the DEQ lib's `backward_factory('ift')`).
+
+    Forward value: f(stop_gradient(z*)) — same as a 1-step phantom unroll.
+    Backward: instead of the single Jacobian application, solve the adjoint
+    fixed point y = Jᵀ y + g with `b_steps` Neumann iterations (the
+    fixed-iteration analogue of the reference's `--b_solver`/`--b_thres`),
+    giving dL/dθ = (∂f/∂θ)ᵀ Σ_k (Jᵀ)^k g ≈ (∂f/∂θ)ᵀ (I − Jᵀ)⁻¹ g.
+    `safe` (--safe_ift) freezes the series when it stops being finite.
+    Closed-over tracers in `f` are handled via `jax.closure_convert` so
+    parameter gradients flow."""
+    z0 = lax.stop_gradient(z_star)
+    f_conv, consts = jax.closure_convert(f, z0)
+    return _ift_gate(z0, int(b_steps), bool(safe), f_conv, *consts)
 
 
 def phantom_grad(f: Callable, z_star: Array, steps: int = 1,

@@ -29,18 +29,34 @@ _PIXEL_MEAN = jnp.asarray([123.675, 116.28, 103.53])
 _PIXEL_STD = jnp.asarray([58.395, 57.12, 57.375])
 
 
+def preprocess_images(images: Array, bgr_input: bool = True) -> Array:
+    """Reference-exact segmenter preprocessing.
+
+    The reference feeds Mask2Former **BGR** frames (`manydepth/dyn_utils.py:
+    176-178` permutes [2,1,0] before x255) while detectron2 then normalizes
+    with the config's RGB-ordered means (`maskformer_model.py:193-195`) —
+    a channel/mean mismatch that is part of the released models' observed
+    behavior, so it is reproduced here verbatim (bgr_input=True, the
+    default). Set bgr_input=False for the color-correct variant.
+    """
+    if bgr_input:
+        images = images[..., ::-1]
+    return (images * 255.0 - _PIXEL_MEAN) / _PIXEL_STD
+
+
 class Mask2Former(nn.Module):
     num_classes: int = 80
     swin_size: str = "large"
     num_queries: int = 100
     max_instances: int = 8
     score_threshold: float = 0.0
+    bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
 
     @nn.compact
     def __call__(self, images: Array) -> tuple[Array, Array]:
         """images: (B, H, W, 3) in [0, 1] RGB.
         Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4))."""
-        x = (images * 255.0 - _PIXEL_MEAN) / _PIXEL_STD
+        x = preprocess_images(images, self.bgr_input)
         feats = SwinTransformer(self.swin_size, name="backbone")(x)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(
             name="pixel_decoder")(feats)

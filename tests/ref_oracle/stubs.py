@@ -351,6 +351,124 @@ def _build_torch_sparse_stub():
     return {"torch_sparse": ts}
 
 
+def _build_torchmetrics_stub():
+    """Minimal torchmetrics.Metric: single-process semantics of the slice
+    `manydepth/trainer.py:75-103` (DepthBins) uses — add_state sets the
+    attribute, update/compute are subclass-defined, no dist reduction."""
+    import torch
+
+    class Metric(torch.nn.Module):
+        full_state_update = False
+
+        def __init__(self, **kwargs):
+            super().__init__()
+
+        def add_state(self, name, default=None, dist_reduce_fx=None):
+            setattr(self, name, default)
+
+        def forward(self, *a, **k):
+            return self.update(*a, **k)
+
+    tm = types.ModuleType("torchmetrics")
+    tm.Metric = Metric
+    return {"torchmetrics": tm}
+
+
+def _build_manydepth_missing_modules():
+    """The reference imports two manydepth modules missing from its snapshot
+    (SURVEY.md §1): `manydepth.vis` (colorize) and `manydepth.pareto`
+    (pareto_fn, used only behind --pareto)."""
+    vis = types.ModuleType("manydepth.vis")
+
+    def colorize(value, vmin=None, vmax=None, cmap="plasma"):
+        arr = np.asarray(value, np.float32)
+        lo = float(arr.min()) if vmin is None else vmin
+        hi = float(arr.max()) if vmax is None else vmax
+        norm = np.clip((arr - lo) / max(hi - lo, 1e-8), 0, 1)
+        return (np.stack([norm] * 3, -1) * 255).astype(np.uint8)
+
+    vis.colorize = colorize
+
+    pareto = types.ModuleType("manydepth.pareto")
+
+    def pareto_fn(*a, **k):
+        raise NotImplementedError(
+            "manydepth.pareto is missing from the reference snapshot")
+
+    pareto.pareto_fn = pareto_fn
+    return {"manydepth.vis": vis, "manydepth.pareto": pareto}
+
+
+def _build_mask2former_pkg_stub():
+    """`manydepth/trainer.py:57` imports add_maskformer2_config from the
+    mask2former package, whose __init__ needs full detectron2; the non-
+    temporal paths never call it, so shadow with a config no-op."""
+    m2f = types.ModuleType("mask2former")
+    m2f.add_maskformer2_config = lambda cfg: cfg
+    return {"mask2former": m2f}
+
+
+def _build_detectron2_structures_stub():
+    """Functional detectron2 Instances (fields + image_size + indexing) —
+    the container `manydepth/matcher.py`/`dyn_utils.py` pass around."""
+
+    class Instances:
+        def __init__(self, image_size, **fields):
+            self._image_size = tuple(image_size)
+            self._fields = {}
+            for k, v in fields.items():
+                self.set(k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def set(self, name, value):
+            self._fields[name] = value
+
+        def has(self, name):
+            return name in self._fields
+
+        def get(self, name):
+            return self._fields[name]
+
+        def __setattr__(self, name, value):
+            if name.startswith("_"):
+                super().__setattr__(name, value)
+            else:
+                self.set(name, value)
+
+        def __getattr__(self, name):
+            if name.startswith("_") or name not in self._fields:
+                raise AttributeError(name)
+            return self._fields[name]
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+        def __getitem__(self, item):
+            out = Instances(self._image_size)
+            for k, v in self._fields.items():
+                out.set(k, v[item])
+            return out
+
+        def to(self, *a, **k):
+            out = Instances(self._image_size)
+            for key, v in self._fields.items():
+                out.set(key, v.to(*a, **k) if hasattr(v, "to") else v)
+            return out
+
+    structures_mod = types.ModuleType("detectron2.structures")
+    structures_mod.Instances = Instances
+    instances_mod = types.ModuleType("detectron2.structures.instances")
+    instances_mod.Instances = Instances
+    structures_mod.instances = instances_mod
+    return {"detectron2.structures": structures_mod,
+            "detectron2.structures.instances": instances_mod}
+
+
 def _build_skimage_stub():
     def resize(image, output_shape, order=1, preserve_range=False,
                mode="constant", anti_aliasing=None):
@@ -381,6 +499,8 @@ def install_reference_shims():
     import torch
     import torch.nn as nn
 
+    import importlib.machinery
+
     from tests.ref_oracle.deq_lib import build_lib_modules
 
     for name, mod in {**_build_torchvision_stub(),
@@ -388,8 +508,16 @@ def install_reference_shims():
                       **_build_yacs_stub(),
                       **_build_wandb_stub(),
                       **_build_detectron2_stub(),
+                      **_build_detectron2_structures_stub(),
                       **_build_torch_sparse_stub(),
+                      **_build_torchmetrics_stub(),
+                      **_build_manydepth_missing_modules(),
+                      **_build_mask2former_pkg_stub(),
                       **build_lib_modules("dualrefine.networks")}.items():
+        # a real __spec__ so importlib.util.find_spec probes (e.g.
+        # accelerate's wandb availability check) don't raise
+        if getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules.setdefault(name, mod)
 
     from PIL import Image

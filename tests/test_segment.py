@@ -100,3 +100,31 @@ def test_mask2former_tiny_end_to_end():
     assert logits.shape == (1, 8, 6)
     assert masks.shape == (1, 8, 16, 24)
     assert bool(jnp.isfinite(logits).all() and jnp.isfinite(masks).all())
+
+
+def test_segmenter_preprocessing_matches_reference_tensor_math():
+    """mal_tpu preprocessing == the reference's BGR feed + detectron2
+    normalize (`manydepth/dyn_utils.py:172-188` -> `maskformer_model.py:
+    193-195`), computed here with the reference's own torch ops."""
+    from mal_tpu.segment.mask2former import preprocess_images
+
+    rng = np.random.RandomState(4)
+    rgb = rng.uniform(0, 1, (2, 3, 16, 24)).astype(np.float32)  # (B,3,H,W)
+
+    # reference math (dyn_utils.generate_instances + MaskFormer normalizer)
+    images = torch.from_numpy(rgb)
+    permute = [2, 1, 0]
+    images = images[:, permute, :, :]
+    images = images * 255
+    pixel_mean = torch.tensor([123.675, 116.28, 103.53]).view(-1, 1, 1)
+    pixel_std = torch.tensor([58.395, 57.12, 57.375]).view(-1, 1, 1)
+    ref = ((images - pixel_mean) / pixel_std).permute(0, 2, 3, 1).numpy()
+
+    ours = np.asarray(preprocess_images(
+        jnp.asarray(np.transpose(rgb, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-5)
+
+    # color-correct variant differs (sanity that the flag does something)
+    no_flip = np.asarray(preprocess_images(
+        jnp.asarray(np.transpose(rgb, (0, 2, 3, 1))), bgr_input=False))
+    assert np.abs(no_flip - ref).max() > 0.1

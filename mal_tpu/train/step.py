@@ -100,6 +100,17 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
     train_pose = train_teacher and not cfg.freeze_pose
     if (cfg.temporal or cfg.main_temporal) and seg_fn is None:
         raise ValueError("cfg.temporal requires a segmentation seg_fn")
+    if cfg.learn_ens:
+        # `--learn_ens` selects outputs["ens_disp"] as the distillation
+        # ensemble (`manydepth/loss_utils.py:240-241`), but NO module in the
+        # reference ever produces "ens_disp" (grepped the full snapshot) —
+        # the flag crashes upstream with a KeyError. Surfaced here as an
+        # explicit error rather than silently diverging.
+        raise NotImplementedError(
+            "learn_ens: the reference's ens_disp producer is missing from "
+            "its snapshot (manydepth/loss_utils.py:240 reads a key no "
+            "module writes); the (mono+multi)/2 ensemble is the working "
+            "path")
 
     def temporal_syn(batch, warped, seg_variables, inst_cur):
         """Temporal-hint synthesized frames (`dyn_utils.py:121-170`).
@@ -111,8 +122,11 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         worse tiling + the current-frame dedup is lost)."""
         from mal_tpu.temporal import image_synthesis
 
-        inst_last = seg_fn(seg_variables, warped[0])
-        inst_next = seg_fn(seg_variables, warped[1])
+        # frozen segmenter: the reference runs Mask2Former under
+        # torch.no_grad (`dyn_utils.py:185-186`) — cut gradients into it
+        # (also removes the pointless Swin-L backward from the step)
+        inst_last = seg_fn(seg_variables, jax.lax.stop_gradient(warped[0]))
+        inst_next = seg_fn(seg_variables, jax.lax.stop_gradient(warped[1]))
         syn_l, syn_n, _ = image_synthesis(
             warped[0], warped[1], inst_cur, inst_last, inst_next,
             cfg.ins_threshold)

@@ -128,3 +128,28 @@ def test_segmenter_preprocessing_matches_reference_tensor_math():
     no_flip = np.asarray(preprocess_images(
         jnp.asarray(np.transpose(rgb, (0, 2, 3, 1))), bgr_input=False))
     assert np.abs(no_flip - ref).max() > 0.1
+
+
+def test_msdeform_pallas_sampler_matches_per_level():
+    """The gather-free one-hot-matmul sampler (interpret mode) == the
+    per-level grid_sample path, incl. out-of-range zeros-padding corners."""
+    from mal_tpu.segment.msdeform import (ms_deform_attn_core_pallas,
+                                          ms_deform_attn_core_per_level)
+
+    rng = np.random.RandomState(11)
+    B, H_, C, L, P, Lq = 2, 4, 8, 3, 4, 37
+    shapes = [(6, 10), (3, 5), (2, 3)]
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, S, H_, C).astype(np.float32))
+    # include out-of-range locations to exercise zeros-padding corners
+    locs = jnp.asarray(rng.uniform(-0.2, 1.2,
+                                   (B, Lq, H_, L, P, 2)).astype(np.float32))
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Lq, H_, L * P).astype(np.float32))).reshape(
+        B, Lq, H_, L, P)
+
+    ref = ms_deform_attn_core_per_level(value, shapes, locs, attn)
+    got = ms_deform_attn_core_pallas(value, shapes, locs, attn,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -34,11 +34,11 @@ from mal_tpu.segment.msdeform import (ms_deform_attn_core_pallas,
 
 def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
     return (time.perf_counter() - t0) / iters * 1000
 
 

@@ -9,18 +9,21 @@ per encoder layer. But the per-(batch, head) level value maps are tiny
 be reformulated EXACTLY as two separable one-hot contractions that run on
 the MXU instead of the gather unit:
 
-    out[s, c] = sum_r wy[s, r] * sum_k wx[s, k] * V[r, k, c]
+    out[c, s] = sum_r wy[r, s] * sum_k V[r*ch + c, k] * wx[k, s]
 
-- stage 1: a dense matmul A(samples, W_l) @ Vmat(W_l, H_l*C) where A has at
-  most two non-zeros per row (the x-corner weights, built in-VMEM by integer
-  iota comparison — no scatter);
-- stage 2: an elementwise masked reduction over the H_l row groups (the two
-  y-corner weights), done with static lane slices.
+Layout (v2, transposed): channels live in SUBLANES and samples in LANES.
 
-Zeros-padding / align_corners=False corner logic is folded into the weights
-on the XLA side (same `axis_w` scheme as `grid_sample_packed`), and the
-deformable attention weight is folded into the x-weights, so the kernel's
-output only needs a sum over sampling points.
+- stage 1: U = Vmat @ A, a dense (h_l*ch, w_l) @ (w_l, S) matmul where A
+  has at most two non-zeros per column (the x-corner weights, built in-VMEM
+  by sublane-iota comparison — no scatter);
+- stage 2: for each row r of the level, a (1, S) y-corner mask broadcasts
+  over a NATIVE 32-aligned sublane slice U[r*ch:(r+1)*ch] and accumulates.
+
+All three pyramid levels run inside one kernel per grid step (one U buffer
+at a time), and the bilinear corner math (align_corners=False, zeros
+padding, clamp-to-edge base with weight zeroing — the same scheme as
+`grid_sample_packed`) happens in-kernel on (1, S) vectors, so the XLA side
+only lays out coordinates head-major and pads.
 
 Forward-only: MAL runs the segmenter frozen (`manydepth/trainer.py:350`).
 """
@@ -36,69 +39,87 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_SUB, _LANE = 8, 128
-TILE = _SUB * _LANE  # samples per grid step
+LANE = 128
+SAMPLE_TILE = 16 * LANE  # samples per grid step (S)
 
 
-def _kernel(vmat_ref, x0_ref, xs0_ref, xs1_ref, y0_ref, ys0_ref, ys1_ref,
-            out_ref, *, w_l: int, h_l: int, ch: int):
-    vmat = vmat_ref[0]                      # (w_l, h_l*ch)
-    x0 = x0_ref[0, 0]                       # (8, 128) int32 (clamped)
-    y0 = y0_ref[0, 0]
-
-    # x one-hot with both corner weights: A[s, k] = xs0*(k==x0) + xs1*(k==x0+1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE, w_l), 2)
-    A = (jnp.where(kcol == x0[..., None], xs0_ref[0, 0][..., None], 0.0)
-         + jnp.where(kcol == x0[..., None] + 1, xs1_ref[0, 0][..., None],
-                     0.0))
-
-    U = jax.lax.dot_general(
-        A, vmat, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # exact fp32 (parity with
-    # the XLA gather path; default TPU precision would bf16-round)
-
-    # y mask over row groups: wy[s, r*ch + c] = ys0*(r==y0) + ys1*(r==y0+1)
-    rcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE, h_l * ch), 2)
-    rcol = rcol // ch
-    wy = (jnp.where(rcol == y0[..., None], ys0_ref[0, 0][..., None], 0.0)
-          + jnp.where(rcol == y0[..., None] + 1, ys1_ref[0, 0][..., None],
-                      0.0))
-    M = U * wy
-
-    # reduce the h_l row groups with static lane slices
-    acc = M[..., 0:ch]
-    for r in range(1, h_l):
-        acc = acc + M[..., r * ch:(r + 1) * ch]
-    out_ref[0, 0] = acc.reshape(TILE, ch)
+def _corner_weights(c, size):
+    """In-kernel axis corner weights: c is the continuous source coordinate
+    (already scaled, -0.5 applied), shape (1, S). Returns (c0 int32 clamped
+    base, s0, s1) with zeros-padding semantics: out-of-range corners get
+    weight 0, and a base of -1 re-lands its valid corner on index 0."""
+    c0f = jnp.floor(c)
+    w1 = c - c0f
+    w0 = 1.0 - w1
+    cc = jnp.clip(c0f, 0, size - 1)
+    dx = cc - c0f
+    s0 = jnp.where(dx == 0, w0 * (c0f >= 0), jnp.where(dx == 1, w1, 0.0))
+    s1 = jnp.where(dx == 0, w1 * (c0f + 1 <= size - 1), 0.0)
+    return cc.astype(jnp.int32), s0, s1
 
 
-@functools.partial(jax.jit, static_argnames=("w_l", "h_l", "interpret"))
-def deform_sample_level(vmat: Array, x0: Array, xs0: Array, xs1: Array,
-                        y0: Array, ys0: Array, ys1: Array,
-                        w_l: int, h_l: int,
+def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
+            shapes: tuple[tuple[int, int], ...], ch: int):
+    vms = (vm0_ref, vm1_ref, vm2_ref)
+    acc = jnp.zeros((ch, SAMPLE_TILE), jnp.float32)
+    for lvl, (h_l, w_l) in enumerate(shapes):
+        x = x_ref[0, 0, lvl:lvl + 1] * w_l - 0.5  # (1, S) continuous coords
+        y = y_ref[0, 0, lvl:lvl + 1] * h_l - 0.5
+        aw = aw_ref[0, 0, lvl:lvl + 1]
+        x0, xs0, xs1 = _corner_weights(x, w_l)
+        y0, ys0, ys1 = _corner_weights(y, h_l)
+        xs0 = xs0 * aw                            # fold attention weight
+        xs1 = xs1 * aw
+
+        # x one-hot, samples in lanes: A[k, s] = xs0*(k==x0) + xs1*(k==x0+1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (w_l, SAMPLE_TILE), 0)
+        A = (jnp.where(kcol == x0, xs0, 0.0)
+             + jnp.where(kcol == x0 + 1, xs1, 0.0))
+
+        U = jax.lax.dot_general(
+            vms[lvl][0], A, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (h_l*ch, S); exact fp32
+        # (parity with the XLA gather path; default precision would
+        # bf16-round the values)
+
+        # y corners: per source row r, a (1, S) mask over a native sublane
+        # slice of U
+        for r in range(h_l):
+            m = jnp.where(y0 == r, ys0, 0.0) + jnp.where(y0 + 1 == r, ys1,
+                                                         0.0)
+            acc = acc + m * U[r * ch:(r + 1) * ch]
+    out_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "ch", "interpret"))
+def deform_sample_fused(vm0: Array, vm1: Array, vm2: Array, x: Array,
+                        y: Array, aw: Array,
+                        shapes: tuple[tuple[int, int], ...], ch: int,
                         interpret: bool = False) -> Array:
-    """vmat: (G, w_l, h_l*ch) column-major level values per (batch*head);
-    x0/y0: (G, T, 8, 128) int32 clamped corner bases; xs*/ys*: matching
-    fp32 corner weights (attention weight folded into xs*, zeros-padding
-    corner logic pre-applied). Returns (G, T, TILE, ch) sampled values."""
-    G, T = x0.shape[:2]
-    ch = vmat.shape[-1] // h_l
+    """vm_l: (G, h_l*ch, w_l) transposed level values per (batch*head) group,
+    row-major rows (row r of the level occupies sublanes r*ch..r*ch+ch).
+    x/y/aw: (G, T, L, SAMPLE_TILE) normalized-[0,1] sampling coordinates and
+    attention weights, head-major samples padded to T*SAMPLE_TILE (pad with
+    aw=0). Returns (G, T, ch, SAMPLE_TILE) sampled values (sum over levels,
+    attention weight applied)."""
+    G, T, L, S = x.shape
+    assert S == SAMPLE_TILE
 
-    coord_spec = pl.BlockSpec((1, 1, _SUB, _LANE),
-                              lambda g, t: (g, t, 0, 0),
+    def vspec(hw):
+        h_l, w_l = hw
+        return pl.BlockSpec((1, h_l * ch, w_l), lambda g, t: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    coord_spec = pl.BlockSpec((1, 1, L, S), lambda g, t: (g, t, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, w_l=w_l, h_l=h_l, ch=ch),
+        functools.partial(_kernel, shapes=shapes, ch=ch),
         grid=(G, T),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((1, w_l, h_l * ch), lambda g, t: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            coord_spec, coord_spec, coord_spec,
-            coord_spec, coord_spec, coord_spec,
-        ],
-        out_specs=pl.BlockSpec((1, 1, TILE, ch), lambda g, t: (g, t, 0, 0),
+        in_specs=[vspec(shapes[0]), vspec(shapes[1]), vspec(shapes[2]),
+                  coord_spec, coord_spec, coord_spec],
+        out_specs=pl.BlockSpec((1, 1, ch, S), lambda g, t: (g, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, T, TILE, ch), jnp.float32),
-    )(vmat, x0, xs0, xs1, y0, ys0, ys1)
+        out_shape=jax.ShapeDtypeStruct((G, T, ch, S), jnp.float32),
+    )(vm0, vm1, vm2, x, y, aw)

@@ -52,16 +52,6 @@ def ms_deform_attn_core_per_level(
     return out.reshape(B, Lq, H_ * C)
 
 
-def _axis_w(c0, w0, w1, size):
-    """Zeros-mode corner weights tied to the clamped base (identical to
-    `grid_sample_packed`'s axis_w)."""
-    cc = jnp.clip(c0, 0, size - 1)
-    dx = cc - c0
-    s0 = jnp.where(dx == 0, w0 * (c0 >= 0), jnp.where(dx == 1, w1, 0.0))
-    s1 = jnp.where(dx == 0, w1 * (c0 + 1 <= size - 1), 0.0)
-    return s0, s1
-
-
 def ms_deform_attn_core_pallas(value: Array,
                                spatial_shapes: list[tuple[int, int]],
                                sampling_locations: Array,
@@ -70,53 +60,46 @@ def ms_deform_attn_core_pallas(value: Array,
     """Gather-free formulation: TPU gathers are index-rate-bound at ~80M
     idx/s (~37 ms per encoder layer at 192x640), but the per-(batch, head)
     level maps are VMEM-sized, so sampling runs as separable one-hot MXU
-    contractions instead (`mal_tpu/ops/pallas/deform_sample.py`). Exact
-    bilinear semantics (zeros padding, align_corners=False), fp32
-    HIGHEST-precision matmuls."""
-    from mal_tpu.ops.pallas.deform_sample import TILE, deform_sample_level
+    contractions instead (`mal_tpu/ops/pallas/deform_sample.py`, all three
+    levels fused in one kernel, corner math in-kernel). Exact bilinear
+    semantics (zeros padding, align_corners=False), fp32 HIGHEST-precision
+    matmuls."""
+    from mal_tpu.ops.pallas.deform_sample import (SAMPLE_TILE,
+                                                 deform_sample_fused)
 
     B, S, H_, C = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == 3, "fused kernel is specialized to 3 pyramid levels"
     G = B * H_
     NS = Lq * P
 
     splits = np.cumsum([h * w for h, w in spatial_shapes])[:-1].tolist()
     values = jnp.split(jnp.moveaxis(value, 2, 1), splits, axis=2)
 
-    T = -(-NS // TILE)
-    pad = T * TILE - NS
-
-    out = 0.0
+    # transposed level values: vm[g, r*C + c, k] = V[r, k, c]
+    vms = []
     for lvl, (h_l, w_l) in enumerate(spatial_shapes):
-        # column-major level values: Vmat[k, r*C + c] = V[r, k, c]
         v = values[lvl].reshape(G, h_l, w_l, C)
-        vmat = jnp.swapaxes(v, 1, 2).reshape(G, w_l, h_l * C)
+        vms.append(v.transpose(0, 1, 3, 2).reshape(G, h_l * C, w_l))
 
-        loc = sampling_locations[:, :, :, lvl]          # (B, Lq, H_, P, 2)
-        x = loc[..., 0] * w_l - 0.5                     # align_corners=False
-        y = loc[..., 1] * h_l - 0.5
-        x0f, y0f = jnp.floor(x), jnp.floor(y)
-        xs0, xs1 = _axis_w(x0f, 1.0 - (x - x0f), x - x0f, w_l)
-        ys0, ys1 = _axis_w(y0f, 1.0 - (y - y0f), y - y0f, h_l)
-        aw = attention_weights[:, :, :, lvl]            # (B, Lq, H_, P)
-        xs0 = xs0 * aw
-        xs1 = xs1 * aw
-        x0c = jnp.clip(x0f, 0, w_l - 1).astype(jnp.int32)
-        y0c = jnp.clip(y0f, 0, h_l - 1).astype(jnp.int32)
+    T = -(-NS // SAMPLE_TILE)
+    pad = T * SAMPLE_TILE - NS
 
-        def lay(a, fill=0.0):
-            a = a.transpose(0, 2, 1, 3).reshape(G, NS)  # head-major samples
-            a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
-            return a.reshape(G, T, 8, 128)
+    def lay(a):  # (B, Lq, H_, L, P) -> (G, T, L, SAMPLE_TILE), head-major
+        a = a.transpose(0, 2, 3, 1, 4).reshape(G, L, NS)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+        return a.reshape(G, L, T, SAMPLE_TILE).swapaxes(1, 2)
 
-        sampled = deform_sample_level(
-            vmat, lay(x0c), lay(xs0), lay(xs1), lay(y0c), lay(ys0),
-            lay(ys1), w_l=w_l, h_l=h_l, interpret=interpret)
-        sampled = sampled.reshape(G, T * TILE, C)[:, :NS]
-        sampled = sampled.reshape(B, H_, Lq, P, C).sum(axis=3)
-        out = out + sampled                              # (B, H_, Lq, C)
+    # padded tail samples carry aw=0 -> their A columns are all-zero
+    sampled = deform_sample_fused(
+        vms[0], vms[1], vms[2],
+        lay(sampling_locations[..., 0]), lay(sampling_locations[..., 1]),
+        lay(attention_weights),
+        shapes=tuple(spatial_shapes), ch=C, interpret=interpret)
 
-    return jnp.moveaxis(out, 1, 2).reshape(B, Lq, H_ * C)
+    sampled = sampled.transpose(0, 2, 1, 3).reshape(G, C, T * SAMPLE_TILE)
+    out = sampled[:, :, :NS].reshape(B, H_, C, Lq, P).sum(axis=4)
+    return out.transpose(0, 3, 1, 2).reshape(B, Lq, H_ * C)  # (B, Lq, H*C)
 
 
 def ms_deform_attn_core(value: Array, spatial_shapes: list[tuple[int, int]],

@@ -86,9 +86,12 @@ def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
         a_lo = (A - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def mm(a, b):
+            # explicit precision: Mosaic rejects the HIGH an ambient
+            # default_matmul_precision("tensorfloat32") would inject
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
 
         U = mm(vm_hi, a_hi) + (mm(vm_hi, a_lo) + mm(vm_lo, a_hi))
 

@@ -38,10 +38,13 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     v = v_ref[0].astype(jnp.float32)
     bias = bias_ref[0]                    # (h, N, N) fp32
 
+    # explicit precision: Mosaic rejects HIGH, which an ambient
+    # jax.default_matmul_precision("tensorfloat32") would otherwise inject
     scores = jax.lax.dot_general(
         q * scale, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (h, N, N)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # (h, N, N)
     scores = scores + bias
 
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -51,7 +54,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     out = jax.lax.dot_general(
         s, v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (h, N, d)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # (h, N, d)
     out_ref[0] = out.astype(out_ref.dtype)
 
 

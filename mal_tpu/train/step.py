@@ -86,14 +86,17 @@ def _all_photometric_warps(cfg: Config, batch, outputs, depth_specs):
     return out
 
 
-def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
-                    seg_fn: Callable | None = None) -> Callable:
-    """Build the jit-able train step for a given config/model/optimizer.
+def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
+                 ) -> Callable:
+    """Build the pure MAL loss function.
 
-    `seg_fn(images (B,H,W,3)) -> Instances` is the frozen instance-
-    segmentation front-end for the MAL temporal hint (the reference runs
-    Mask2Former inside the train loop, `manydepth/trainer.py:350-357`;
-    `dyn_utils.py:172-188`). Required when cfg.temporal/main_temporal.
+    Returns `loss_fn(params, batch_stats, min_d, max_d, balancer, batch,
+    rng_model, rng_noise, epoch, seg_variables=None) -> (total, aux)` — the
+    full loss assembly of `Trainer.process_batch` (`manydepth/trainer.py:
+    555-644`) as a gradable function. `make_train_step` wraps it with
+    jax.grad + the optimizer/bins/balancer state plumbing; the reference
+    gradient oracle (tests/test_ref_oracle_grads.py) differentiates it
+    directly against the reference's own backward pass.
     """
 
     train_teacher = not cfg.freeze_teacher_and_pose
@@ -132,110 +135,144 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             cfg.ins_threshold)
         return [syn_l, syn_n]
 
+    def loss_fn(params, batch_stats, min_d, max_d, balancer, batch: dict,
+                rng_model: Array, rng_noise: Array, epoch: Array,
+                seg_variables=None):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, min_d, max_d, rng_model, train=True,
+            train_teacher=train_teacher, train_pose=train_pose,
+            mutable=["batch_stats"],
+        )
+        color0 = batch["color"]["0"]
+        identity = [batch["color"][str(f)] for f in cfg.frame_ids[1:]]
+
+        _, mono_depth = geometry.disp_to_depth(
+            outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
+        _, multi_depth = geometry.disp_to_depth(
+            outputs["disp"], cfg.min_depth, cfg.max_depth)
+
+        # one batched gather for every (depth-set x frame) warp
+        depth_specs = [(mono_depth, False), (multi_depth, True)]
+        use_ens = cfg.distil and cfg.use_ensemble
+        if use_ens:
+            disp_ens = jax.lax.stop_gradient(
+                (outputs["mono_disp"] + outputs["disp"]) / 2.0)
+            _, ens_depth = geometry.disp_to_depth(
+                disp_ens, cfg.min_depth, cfg.max_depth)
+            depth_specs.append((ens_depth, True))
+        warps = _all_photometric_warps(cfg, batch, outputs, depth_specs)
+        mono_warped, multi_warped = warps[0], warps[1]
+
+        # --- teacher ---
+        inst_cur = (seg_fn(seg_variables, batch["color"]["0"])
+                    if (cfg.temporal or cfg.main_temporal) else None)
+        mono_syn = (temporal_syn(batch, mono_warped, seg_variables,
+                                 inst_cur)
+                    if cfg.temporal else ())
+        mono_out = losses.mono_losses(
+            rng_noise, outputs["mono_disp"], color0, mono_warped,
+            identity, syn=mono_syn,
+            smoothness_weight=cfg.disparity_smoothness)
+
+        # --- student ---
+        mono_depth_sg = jax.lax.stop_gradient(mono_depth)
+        cmask = outputs["consistency_mask"] * losses.matching_mask(
+            mono_depth_sg, outputs["lowest_cost"])
+
+        ens_reproj = None
+        if use_ens:
+            ens_reproj = jax.lax.stop_gradient(
+                losses.min_reprojection(warps[2], color0))
+
+        multi_syn = (temporal_syn(batch, multi_warped, seg_variables,
+                                  inst_cur)
+                     if cfg.main_temporal else ())
+        multi_out = losses.multi_losses(
+            outputs["disp"], color0, multi_warped, multi_depth,
+            mono_depth_sg, cmask, outputs["augmentation_mask"],
+            jax.lax.stop_gradient(mono_out.min_reproj),
+            syn=multi_syn,
+            ensemble_min_reproj=ens_reproj,
+            dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
+            smoothness_weight=cfg.disparity_smoothness,
+        )
+
+        # --- total loss (`trainer.py:624-642`) ---
+        ori_loss = multi_out.loss
+        if train_teacher:
+            ori_loss = ori_loss + mono_out.loss
+
+        if cfg.distil and cfg.loss_blc:
+            lam = jnp.maximum(
+                cfg.lambda_for_adjust_start
+                + epoch * cfg.lambda_for_adjust_slope,
+                cfg.lambda_for_adjust_min)
+            total, new_balancer = losses.loss_balance(
+                balancer,
+                jnp.stack([ori_loss, multi_out.distil_loss]), lam)
+        elif cfg.distil:
+            # The reference's plain-distil total counts the mono loss TWICE:
+            # `compute_main_losses` stores the same tensor under both
+            # "loss/0" and "loss" (`loss_utils.py:277-279`), so the merge's
+            # in-place `losses[key] += val` (`trainer.py:625-627`,
+            # Tensor.__iadd__) adds mono_losses into that shared tensor once
+            # via "loss/0" and again via "loss". Verified against the
+            # reference's own backward (tests/test_ref_oracle_grads.py):
+            # teacher/pose grads are exactly doubled. The loss_blc branch is
+            # unaffected (`loss_list[0] += mono` runs once, and "loss" is
+            # overwritten by the balancer), as is non-distil
+            # (`compute_losses` ends with `total_loss /= (sclm+1)`, a fresh
+            # tensor — `trainer.py:1467-1469`).
+            total = multi_out.loss + multi_out.distil_loss
+            if train_teacher:
+                total = total + 2.0 * mono_out.loss
+            new_balancer = balancer
+        else:
+            total = ori_loss
+            new_balancer = balancer
+
+        aux = {
+            "batch_stats": mutated["batch_stats"],
+            "balancer": new_balancer,
+            "mono_depth": mono_depth_sg,
+            "metrics": {
+                "loss": total,
+                "ori_loss": ori_loss,
+                "mono_reproj": mono_out.reproj_loss,
+                "multi_reproj": multi_out.reproj_loss,
+                "consistency_loss": multi_out.consistency_loss,
+                "distil_loss": multi_out.distil_loss,
+                "w_ori": new_balancer.w[0],
+                "w_distil": new_balancer.w[1],
+            },
+        }
+        return total, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
+                    seg_fn: Callable | None = None) -> Callable:
+    """Build the jit-able train step for a given config/model/optimizer.
+
+    `seg_fn(images (B,H,W,3)) -> Instances` is the frozen instance-
+    segmentation front-end for the MAL temporal hint (the reference runs
+    Mask2Former inside the train loop, `manydepth/trainer.py:350-357`;
+    `dyn_utils.py:172-188`). Required when cfg.temporal/main_temporal.
+    """
+
+    train_teacher = not cfg.freeze_teacher_and_pose
+    loss_fn = make_loss_fn(cfg, model, seg_fn=seg_fn)
+
     def train_step(state: TrainState, batch: dict, rng: Array,
                    epoch: Array, seg_variables=None):
         rng_model, rng_noise = jax.random.split(rng)
         min_d, max_d = state.bins.min_depth, state.bins.max_depth
 
-        def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, min_d, max_d, rng_model, train=True,
-                train_teacher=train_teacher, train_pose=train_pose,
-                mutable=["batch_stats"],
-            )
-            color0 = batch["color"]["0"]
-            identity = [batch["color"][str(f)] for f in cfg.frame_ids[1:]]
-
-            _, mono_depth = geometry.disp_to_depth(
-                outputs["mono_disp"], cfg.min_depth, cfg.max_depth)
-            _, multi_depth = geometry.disp_to_depth(
-                outputs["disp"], cfg.min_depth, cfg.max_depth)
-
-            # one batched gather for every (depth-set x frame) warp
-            depth_specs = [(mono_depth, False), (multi_depth, True)]
-            use_ens = cfg.distil and cfg.use_ensemble
-            if use_ens:
-                disp_ens = jax.lax.stop_gradient(
-                    (outputs["mono_disp"] + outputs["disp"]) / 2.0)
-                _, ens_depth = geometry.disp_to_depth(
-                    disp_ens, cfg.min_depth, cfg.max_depth)
-                depth_specs.append((ens_depth, True))
-            warps = _all_photometric_warps(cfg, batch, outputs, depth_specs)
-            mono_warped, multi_warped = warps[0], warps[1]
-
-            # --- teacher ---
-            inst_cur = (seg_fn(seg_variables, batch["color"]["0"])
-                        if (cfg.temporal or cfg.main_temporal) else None)
-            mono_syn = (temporal_syn(batch, mono_warped, seg_variables,
-                                     inst_cur)
-                        if cfg.temporal else ())
-            mono_out = losses.mono_losses(
-                rng_noise, outputs["mono_disp"], color0, mono_warped,
-                identity, syn=mono_syn,
-                smoothness_weight=cfg.disparity_smoothness)
-
-            # --- student ---
-            mono_depth_sg = jax.lax.stop_gradient(mono_depth)
-            cmask = outputs["consistency_mask"] * losses.matching_mask(
-                mono_depth_sg, outputs["lowest_cost"])
-
-            ens_reproj = None
-            if use_ens:
-                ens_reproj = jax.lax.stop_gradient(
-                    losses.min_reprojection(warps[2], color0))
-
-            multi_syn = (temporal_syn(batch, multi_warped, seg_variables,
-                                      inst_cur)
-                         if cfg.main_temporal else ())
-            multi_out = losses.multi_losses(
-                outputs["disp"], color0, multi_warped, multi_depth,
-                mono_depth_sg, cmask, outputs["augmentation_mask"],
-                jax.lax.stop_gradient(mono_out.min_reproj),
-                syn=multi_syn,
-                ensemble_min_reproj=ens_reproj,
-                dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
-                smoothness_weight=cfg.disparity_smoothness,
-            )
-
-            # --- total loss (`trainer.py:624-642`) ---
-            ori_loss = multi_out.loss
-            if train_teacher:
-                ori_loss = ori_loss + mono_out.loss
-
-            if cfg.distil and cfg.loss_blc:
-                lam = jnp.maximum(
-                    cfg.lambda_for_adjust_start
-                    + epoch * cfg.lambda_for_adjust_slope,
-                    cfg.lambda_for_adjust_min)
-                total, new_balancer = losses.loss_balance(
-                    state.balancer,
-                    jnp.stack([ori_loss, multi_out.distil_loss]), lam)
-            elif cfg.distil:
-                total = ori_loss + multi_out.distil_loss
-                new_balancer = state.balancer
-            else:
-                total = ori_loss
-                new_balancer = state.balancer
-
-            aux = {
-                "batch_stats": mutated["batch_stats"],
-                "balancer": new_balancer,
-                "mono_depth": mono_depth_sg,
-                "metrics": {
-                    "loss": total,
-                    "ori_loss": ori_loss,
-                    "mono_reproj": mono_out.reproj_loss,
-                    "multi_reproj": multi_out.reproj_loss,
-                    "consistency_loss": multi_out.consistency_loss,
-                    "distil_loss": multi_out.distil_loss,
-                    "w_ori": new_balancer.w[0],
-                    "w_distil": new_balancer.w[1],
-                },
-            }
-            return total, aux
-
-        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, min_d, max_d, state.balancer,
+            batch, rng_model, rng_noise, epoch, seg_variables)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

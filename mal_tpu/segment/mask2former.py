@@ -53,15 +53,19 @@ class Mask2Former(nn.Module):
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
 
     @nn.compact
-    def __call__(self, images: Array) -> tuple[Array, Array]:
+    def __call__(self, images: Array,
+                 return_aux: bool = False) -> tuple[Array, Array]:
         """images: (B, H, W, 3) in [0, 1] RGB.
-        Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4))."""
+        Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4));
+        with `return_aux`, stacked per-decoder-layer predictions for deep
+        supervision (see MaskedTransformerDecoder)."""
         x = preprocess_images(images, self.bgr_input)
         feats = SwinTransformer(self.swin_size, name="backbone")(x)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(
             name="pixel_decoder")(feats)
         logits, masks = MaskedTransformerDecoder(
             num_classes=self.num_classes, num_queries=self.num_queries,
+            return_aux=return_aux,
             name="predictor")(multi_scale, mask_features)
         return logits, masks
 
@@ -102,6 +106,29 @@ def instance_inference(pred_logits: Array, pred_masks: Array,
         scores=final_scores,
         valid=jnp.ones_like(final_scores, bool),
     )
+
+
+def mask2former_train_loss(model: Mask2Former, params, images: Array,
+                           tgt_labels: Array, tgt_masks: Array,
+                           tgt_valid: Array, key: Array,
+                           criterion_cfg=None) -> tuple[Array, dict]:
+    """Fine-tuning objective: deep-supervised Hungarian set losses — the
+    training path of `maskformer_model.py:198-216` (criterion over final +
+    aux predictions, weighted sum). Returns (total, per-term dict).
+
+    images (B, H, W, 3) in [0,1]; targets padded to a static T with
+    `tgt_valid` (see `segment/criterion.py`). Gradable w.r.t. `params`.
+    """
+    from mal_tpu.segment.criterion import (CriterionConfig,
+                                           set_criterion_deep, weight_dict,
+                                           weighted_total)
+
+    cfg = criterion_cfg or CriterionConfig(num_classes=model.num_classes)
+    logits, masks = model.apply(params, images, return_aux=True)
+    losses = set_criterion_deep(key, logits, masks, tgt_labels, tgt_masks,
+                                tgt_valid, cfg)
+    total = weighted_total(losses, weight_dict(cfg, logits.shape[0] - 1))
+    return total, losses
 
 
 def make_seg_fn(model: Mask2Former, variables=None, max_instances: int = 8,

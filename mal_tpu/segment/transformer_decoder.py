@@ -60,12 +60,19 @@ class MaskedTransformerDecoder(nn.Module):
     num_layers: int = 9          # 3 rounds over 3 scales
     num_heads: int = 8
     mask_dim: int = 256
+    return_aux: bool = False     # deep supervision (training)
 
     @nn.compact
     def __call__(self, multi_scale: list[Array], mask_features: Array):
         """multi_scale: [res5', res4', res3'] from the pixel decoder;
         mask_features: (B, H/4, W/4, mask_dim).
-        Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4))."""
+        Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4)); with
+        `return_aux`, stacked per-layer predictions
+        ((L+1, B, Q, K+1), (L+1, B, Q, H/4, W/4)) — the initial pre-layer
+        prediction plus one per decoder layer, final last, exactly the
+        deep-supervision set the reference trains on
+        (`mask2former_transformer_decoder.py:390-430` predictions_class /
+        predictions_mask)."""
         B = mask_features.shape[0]
         Q = self.num_queries
         C = self.hidden_dim
@@ -110,6 +117,7 @@ class MaskedTransformerDecoder(nn.Module):
 
         h0, w0 = shapes[0]
         logits, masks, attn_mask = predict(output, h0, w0)
+        aux = [(logits, masks)]
 
         for l in range(self.num_layers):
             lvl = l % 3
@@ -130,5 +138,9 @@ class MaskedTransformerDecoder(nn.Module):
 
             nh, nw = shapes[(l + 1) % 3]
             logits, masks, attn_mask = predict(output, nh, nw)
+            aux.append((logits, masks))
 
+        if self.return_aux:
+            return (jnp.stack([a[0] for a in aux]),
+                    jnp.stack([a[1] for a in aux]))
         return logits, masks

@@ -22,6 +22,7 @@ Nothing here touches `/root/reference` on disk.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -237,6 +238,7 @@ def _build_torchvision_stub():
     tv.__version__ = "0.0.stub"
     tv.models = models_mod
     tv.transforms = transforms_mod
+    tv._is_tracing = lambda: False  # mask2former/utils/misc.py:51
     return {"torchvision": tv,
             "torchvision.models": models_mod,
             "torchvision.models.resnet": resnet_mod,
@@ -408,6 +410,101 @@ def _build_mask2former_pkg_stub():
     return {"mask2former": m2f}
 
 
+def _build_point_rend_stub():
+    """Functional `detectron2.projects.point_rend.point_features` — the two
+    public functions the reference training criterion/matcher import
+    (`mask2former/modeling/criterion.py:13-16`, `matcher.py:12`), written to
+    detectron2's documented semantics: point_sample = grid_sample on
+    [0,1]->[-1,1] coords (align_corners=False), and PointRend's
+    oversample -> top-k-uncertainty -> append-random coord selection."""
+    import torch
+    import torch.nn.functional as F
+
+    def point_sample(input, point_coords, **kwargs):
+        add_dim = False
+        if point_coords.dim() == 3:
+            add_dim = True
+            point_coords = point_coords.unsqueeze(2)
+        output = F.grid_sample(input, 2.0 * point_coords - 1.0, **kwargs)
+        if add_dim:
+            output = output.squeeze(3)
+        return output
+
+    def get_uncertain_point_coords_with_randomness(
+            coarse_logits, uncertainty_func, num_points, oversample_ratio,
+            importance_sample_ratio):
+        assert oversample_ratio >= 1
+        assert 0 <= importance_sample_ratio <= 1
+        num_boxes = coarse_logits.shape[0]
+        num_sampled = int(num_points * oversample_ratio)
+        point_coords = torch.rand(num_boxes, num_sampled, 2,
+                                  device=coarse_logits.device)
+        point_logits = point_sample(coarse_logits, point_coords,
+                                    align_corners=False)
+        point_uncertainties = uncertainty_func(point_logits)
+        num_uncertain_points = int(importance_sample_ratio * num_points)
+        num_random_points = num_points - num_uncertain_points
+        idx = torch.topk(point_uncertainties[:, 0, :],
+                         k=num_uncertain_points, dim=1)[1]
+        shift = num_sampled * torch.arange(num_boxes, dtype=torch.long,
+                                           device=coarse_logits.device)
+        idx += shift[:, None]
+        point_coords = point_coords.view(-1, 2)[idx.view(-1), :].view(
+            num_boxes, num_uncertain_points, 2)
+        if num_random_points > 0:
+            point_coords = torch.cat(
+                [point_coords,
+                 torch.rand(num_boxes, num_random_points, 2,
+                            device=coarse_logits.device)], dim=1)
+        return point_coords
+
+    pf = types.ModuleType("detectron2.projects.point_rend.point_features")
+    pf.point_sample = point_sample
+    pf.get_uncertain_point_coords_with_randomness = (
+        get_uncertain_point_coords_with_randomness)
+    pr = types.ModuleType("detectron2.projects.point_rend")
+    pr.point_features = pf
+
+    comm = types.ModuleType("detectron2.utils.comm")
+    comm.get_world_size = lambda: 1
+    utils_mod = types.ModuleType("detectron2.utils")
+    utils_mod.comm = comm
+    return {"detectron2.projects.point_rend": pr,
+            "detectron2.projects.point_rend.point_features": pf,
+            "detectron2.utils": utils_mod,
+            "detectron2.utils.comm": comm}
+
+
+def expose_reference_mask2former_modeling():
+    """Graft the REAL `mask2former.modeling.{criterion,matcher}` (and the
+    `mask2former.utils.misc` they import) onto the shadowing package stub.
+
+    `install_reference_shims` replaces `mask2former` with a no-op module
+    because its real `__init__` pulls full detectron2; the training-only
+    criterion/matcher modules themselves import cleanly under the
+    point_rend stub, so give the stub package a `__path__` into
+    `/root/reference` plus synthetic `modeling`/`utils` subpackages whose
+    `__init__`s are never executed."""
+    import importlib
+    import importlib.machinery
+
+    install_reference_shims()
+    root = os.path.join(REFERENCE_ROOT, "mask2former")
+    m2f = sys.modules["mask2former"]
+    m2f.__path__ = [root]
+    for sub in ("modeling", "utils"):
+        name = f"mask2former.{sub}"
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [os.path.join(root, sub)]
+            pkg.__spec__ = importlib.machinery.ModuleSpec(
+                name, None, is_package=True)
+            sys.modules[name] = pkg
+    criterion = importlib.import_module("mask2former.modeling.criterion")
+    matcher = importlib.import_module("mask2former.modeling.matcher")
+    return criterion, matcher
+
+
 def _build_detectron2_structures_stub():
     """Functional detectron2 Instances (fields + image_size + indexing) —
     the container `manydepth/matcher.py`/`dyn_utils.py` pass around."""
@@ -508,6 +605,7 @@ def install_reference_shims():
                       **_build_yacs_stub(),
                       **_build_wandb_stub(),
                       **_build_detectron2_stub(),
+                      **_build_point_rend_stub(),
                       **_build_detectron2_structures_stub(),
                       **_build_torch_sparse_stub(),
                       **_build_torchmetrics_stub(),

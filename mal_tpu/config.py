@@ -125,6 +125,10 @@ class Config:
     selec_reproj: bool = False
     zero_img: bool = False
     train_teacher_only: bool = False
+    # generate doj masks online with the frozen Mask2Former instead of
+    # loading precomputed .npy files (mal_tpu extension — the reference
+    # ships no mask-generation tooling; see segment/doj.py)
+    online_doj: bool = False
 
     # --- dualrefine options (DEQ refinement) ---
     # defaults mirror `dualrefine/options.py:142-230`

@@ -23,12 +23,26 @@ Array = jax.Array
 
 
 def make_dynamic_train_step(cfg: Config, model,
-                            tx: optax.GradientTransformation) -> Callable:
+                            tx: optax.GradientTransformation,
+                            doj_fn: Callable | None = None) -> Callable:
+    """`doj_fn(seg_variables, images) -> (B, H, W)` generates the dynamic-
+    object masks online (cfg.online_doj, `segment/doj.py`) in place of the
+    dataset's precomputed `.npy` masks."""
     train_teacher = not cfg.freeze_teacher_and_pose
+    if cfg.online_doj:
+        assert doj_fn is not None, "cfg.online_doj requires a doj_fn"
 
-    def train_step(state: TrainState, batch: dict, rng: Array, epoch: Array):
+    def train_step(state: TrainState, batch: dict, rng: Array, epoch: Array,
+                   seg_variables=None):
         rng_model, rng_noise = jax.random.split(rng)
         min_d, max_d = state.bins.min_depth, state.bins.max_depth
+
+        if doj_fn is not None:
+            batch = dict(batch)
+            batch["doj_mask"] = doj_fn(seg_variables, batch["color"]["0"])
+            for f in cfg.frame_ids[1:]:
+                batch[f"doj_mask{f:+d}"] = doj_fn(seg_variables,
+                                                  batch["color"][str(f)])
 
         def loss_fn(params):
             outputs, mutated = model.apply(

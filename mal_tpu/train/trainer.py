@@ -99,10 +99,13 @@ class Trainer:
         sample = jax.tree.map(jnp.asarray, sample)
         self.state = create_train_state(cfg, self.model, rng, sample)
 
-        # frozen Mask2Former front-end for the MAL temporal hint
-        # (`manydepth/trainer.py:350-357`)
+        # frozen Mask2Former front-end — for the MAL temporal hint
+        # (`manydepth/trainer.py:350-357`) and/or online doj-mask
+        # generation (cfg.online_doj, `segment/doj.py`)
         seg_fn = None
-        if cfg.temporal or cfg.main_temporal:
+        doj_fn = None
+        online_doj = cfg.method == "dynamicdepth" and cfg.online_doj
+        if cfg.temporal or cfg.main_temporal or online_doj:
             from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
             self.seg_model = Mask2Former(max_instances=cfg.max_instances)
             if seg_variables is None:
@@ -112,15 +115,20 @@ class Trainer:
                 # than silently degrade. Convert a checkpoint with
                 # `mal_tpu.convert.mask2former` and pass `seg_variables`.
                 raise ValueError(
-                    "cfg.temporal/main_temporal requires pretrained "
-                    "Mask2Former weights: pass seg_variables (see "
+                    "cfg.temporal/main_temporal/online_doj requires "
+                    "pretrained Mask2Former weights: pass seg_variables (see "
                     "mal_tpu.convert.mask2former.convert_mask2former_pkl); "
                     "random-init segmentation would make the temporal hint "
                     "synthesize noise")
             # weights flow through the step as an ARGUMENT (closure would
             # embed the Swin-L pytree as program constants)
-            seg_fn = make_seg_fn(self.seg_model, None, cfg.max_instances,
-                                 mask_threshold=0.0)
+            if cfg.temporal or cfg.main_temporal:
+                seg_fn = make_seg_fn(self.seg_model, None, cfg.max_instances,
+                                     mask_threshold=0.0)
+            if online_doj:
+                from mal_tpu.segment.doj import make_doj_fn
+                doj_fn = make_doj_fn(self.seg_model, cfg.max_instances,
+                                     score_threshold=cfg.ins_threshold)
             self.seg_variables = seg_variables
 
         # multi-host: one process per host (jax.distributed.initialize done
@@ -142,13 +150,14 @@ class Trainer:
             self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.step import make_dynamic_train_step
-            raw_step = make_dynamic_train_step(cfg, self.model, self.tx)
+            raw_step = make_dynamic_train_step(cfg, self.model, self.tx,
+                                               doj_fn=doj_fn)
         elif cfg.method == "dualrefine":
             from mal_tpu.dualref.step import make_dualref_train_step
             raw_step = make_dualref_train_step(cfg, self.model, self.tx)
         else:
             raw_step = make_train_step(cfg, self.model, self.tx, seg_fn=seg_fn)
-        self._temporal = seg_fn is not None
+        self._temporal = seg_fn is not None or doj_fn is not None
         self.step_fn = data_parallel_step(
             raw_step, self.mesh, n_extra_repl=1 if self._temporal else 0)
         self.state = replicate(self.state, self.mesh)

@@ -76,6 +76,61 @@ def test_dyn_train_step(setup):
     assert int(state1.step) == 1
 
 
+def test_doj_from_instances_unions_dynamic_classes_only():
+    from mal_tpu.segment.doj import doj_from_instances
+    from mal_tpu.segment.instances import Instances
+
+    masks = np.zeros((1, 3, 8, 8), np.float32)
+    masks[0, 0, :4] = 1.0        # car, high score -> in
+    masks[0, 1, 4:] = 1.0        # non-dynamic class -> out
+    masks[0, 2, :, :4] = 1.0     # person, low score -> out
+    inst = Instances(
+        masks=jnp.asarray(masks),
+        classes=jnp.asarray([[2, 9, 0]], jnp.int32),
+        scores=jnp.asarray([[0.9, 0.9, 0.2]]),
+        valid=jnp.asarray([[True, True, True]]))
+    doj = np.asarray(doj_from_instances(inst, score_threshold=0.5))
+    assert doj.shape == (1, 8, 8)
+    np.testing.assert_array_equal(doj[0, :4], 1.0)
+    np.testing.assert_array_equal(doj[0, 4:], 0.0)
+
+
+@pytest.mark.slow
+def test_online_doj_step_matches_precomputed(setup):
+    """cfg.online_doj with a doj_fn that returns the same masks as the
+    dataset's precomputed ones -> identical training step."""
+    cfg, model, batch, variables = setup
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(cfg)
+
+    ref_step = jax.jit(make_dynamic_train_step(cfg, DynDepthModel(cfg), tx))
+    state = create_train_state(cfg, DynDepthModel(cfg), rng, batch)
+    _, m_ref = ref_step(state, batch, jax.random.PRNGKey(2), jnp.zeros(()))
+
+    masks = {"0": batch["doj_mask"], "-1": batch["doj_mask-1"],
+             "1": batch["doj_mask+1"]}
+
+    def fake_doj_fn(seg_variables, images):
+        # dispatch on which frame was passed (frames differ in the batch)
+        out = masks["0"]
+        for f, m in masks.items():
+            same = jnp.all(images == batch["color"][f])
+            out = jnp.where(same, m, out)
+        return out
+
+    cfg_online = cfg.replace(online_doj=True)
+    online_batch = {k: v for k, v in batch.items()
+                    if not k.startswith("doj_mask")}
+    online_step = jax.jit(make_dynamic_train_step(
+        cfg_online, DynDepthModel(cfg_online), tx, doj_fn=fake_doj_fn))
+    state2 = create_train_state(cfg_online, DynDepthModel(cfg_online), rng,
+                                batch)
+    _, m_online = online_step(state2, online_batch, jax.random.PRNGKey(2),
+                              jnp.zeros(()), None)
+    np.testing.assert_allclose(float(m_online["loss"]),
+                               float(m_ref["loss"]), rtol=1e-6)
+
+
 def test_doj_metrics_restricted_to_mask():
     gt = jnp.full((1, 8, 8), 10.0)
     pred = jnp.full((1, 8, 8), 10.0)

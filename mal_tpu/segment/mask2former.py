@@ -51,6 +51,7 @@ class Mask2Former(nn.Module):
     max_instances: int = 8
     score_threshold: float = 0.0
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
+    bf16_backbone: bool = False  # bf16 Swin matmuls (see SwinTransformer)
 
     @nn.compact
     def __call__(self, images: Array,
@@ -60,7 +61,9 @@ class Mask2Former(nn.Module):
         with `return_aux`, stacked per-decoder-layer predictions for deep
         supervision (see MaskedTransformerDecoder)."""
         x = preprocess_images(images, self.bgr_input)
-        feats = SwinTransformer(self.swin_size, name="backbone")(x)
+        feats = SwinTransformer(self.swin_size,
+                                bf16_compute=self.bf16_backbone,
+                                name="backbone")(x)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(
             name="pixel_decoder")(feats)
         logits, masks = MaskedTransformerDecoder(

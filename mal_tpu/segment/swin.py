@@ -61,6 +61,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     use_fused: bool | None = None  # None = auto (fused on TPU backends)
+    compute_dtype: object = None   # e.g. jnp.bfloat16 for MXU-rate matmuls
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None) -> Array:
@@ -70,7 +71,9 @@ class WindowAttention(nn.Module):
         head_dim = C // h
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * C, name="qkv")(x).reshape(nW, N, 3, h, head_dim)
+        dt = self.compute_dtype
+        qkv = nn.Dense(3 * C, dtype=dt, name="qkv")(x).reshape(
+            nW, N, 3, h, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (nW, N, h, d)
 
         rpb_table = self.param(
@@ -98,8 +101,9 @@ class WindowAttention(nn.Module):
                 jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1),
                 jnp.moveaxis(v, 2, 1), bias_all.astype(jnp.float32),
                 num_wins_per_image=nm)
-            out = jnp.moveaxis(out, 1, 2).astype(x.dtype)
-            return nn.Dense(C, name="proj")(out.reshape(nW, N, C))
+            out = jnp.moveaxis(out, 1, 2).astype(dt or x.dtype)
+            return nn.Dense(C, dtype=dt, name="proj")(
+                out.reshape(nW, N, C)).astype(x.dtype)
 
         attn = jnp.einsum("wnhd,wmhd->whnm", q * scale, k)
         attn = attn + bias[None]
@@ -109,8 +113,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(nW, h, N, N)
         attn = jax.nn.softmax(attn, axis=-1)
 
-        out = jnp.einsum("whnm,wmhd->wnhd", attn, v).reshape(nW, N, C)
-        return nn.Dense(C, name="proj")(out)
+        out = jnp.einsum("whnm,wmhd->wnhd", attn.astype(v.dtype),
+                         v).reshape(nW, N, C)
+        return nn.Dense(C, dtype=dt, name="proj")(out).astype(x.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -122,6 +127,7 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int
     mlp_ratio: float = 4.0
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, shift_flag: Array) -> Array:
@@ -142,18 +148,20 @@ class SwinBlock(nn.Module):
         attn_mask = (_shift_mask(Hp, Wp, ws, shift) * shift_flag
                      if shift > 0 else None)
         wins = window_partition(y, ws).reshape(-1, ws * ws, C)
-        wins = WindowAttention(self.dim, self.num_heads, ws, name="attn")(
-            wins, attn_mask)
+        wins = WindowAttention(self.dim, self.num_heads, ws,
+                               compute_dtype=self.compute_dtype,
+                               name="attn")(wins, attn_mask)
         y = window_reverse(wins.reshape(-1, ws, ws, C), ws, Hp, Wp)
         y = jnp.roll(y, (-roll, -roll), axis=(1, 2))
         y = y[:, :H, :W]
         x = shortcut + y
 
         y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.compute_dtype,
+                     name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
-        y = nn.Dense(C, name="mlp_fc2")(y)
-        return x + y
+        y = nn.Dense(C, dtype=self.compute_dtype, name="mlp_fc2")(y)
+        return x + y.astype(x.dtype)
 
 
 class SwinStage(nn.Module):
@@ -165,6 +173,7 @@ class SwinStage(nn.Module):
     num_heads: int
     window_size: int
     depth: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -182,7 +191,7 @@ class SwinStage(nn.Module):
         )
         y, _ = scanned(
             SwinBlock(self.dim, self.num_heads, self.window_size,
-                      name="blocks"),
+                      compute_dtype=self.compute_dtype, name="blocks"),
             x, flags)
         return y
 
@@ -215,8 +224,16 @@ class PatchMerging(nn.Module):
 
 
 class SwinTransformer(nn.Module):
-    """Returns {"res2", "res3", "res4", "res5"} NHWC feature maps."""
+    """Returns {"res2", "res3", "res4", "res5"} NHWC feature maps.
+
+    `bf16_compute=True` runs every Dense matmul (qkv/proj/MLP) in bfloat16
+    at full MXU rate (params stay fp32; residual stream and LayerNorms stay
+    fp32; the fused attention kernel accumulates scores in fp32 either
+    way). Off by default: the frozen-eval temporal hint and converter
+    parity tests use exact fp32.
+    """
     size: str = "large"
+    bf16_compute: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> dict[str, Array]:
@@ -230,9 +247,10 @@ class SwinTransformer(nn.Module):
 
         outs = {}
         dim = embed_dim
+        cdt = jnp.bfloat16 if self.bf16_compute else None
         for stage in range(4):
             y = SwinStage(dim, heads[stage], ws, depths[stage],
-                          name=f"stage{stage}")(y)
+                          compute_dtype=cdt, name=f"stage{stage}")(y)
             out = nn.LayerNorm(name=f"out_norm{stage}")(y)
             outs[f"res{stage + 2}"] = out
             if stage < 3:

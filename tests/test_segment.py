@@ -34,6 +34,28 @@ def test_swin_tiny_shapes():
     assert outs["res5"].shape == (1, 2, 3, 768)
 
 
+def test_swin_bf16_compute_close_to_fp32():
+    """bf16_compute: same params, same structure, outputs within bf16
+    rounding of the fp32 path (the fast-mode knob for the temporal hint's
+    Swin forward)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 64, 96, 3)), jnp.float32)
+    f32 = SwinTransformer("tiny")
+    bf16 = SwinTransformer("tiny", bf16_compute=True)
+    vars_ = f32.init(jax.random.PRNGKey(0), x)
+    # identical parameter trees (the knob changes compute dtype only)
+    assert (jax.tree_util.tree_structure(vars_)
+            == jax.tree_util.tree_structure(bf16.init(jax.random.PRNGKey(0),
+                                                      x)))
+    o32 = f32.apply(vars_, x)
+    o16 = bf16.apply(vars_, x)
+    for k in o32:
+        a, b = np.asarray(o32[k]), np.asarray(o16[k])
+        assert b.dtype == np.float32  # residual stream stays fp32
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() / scale < 0.05, k
+
+
 def test_ms_deform_attn_core_matches_torch_reference():
     """Parity with the reference's pure-torch fallback
     (`ops/functions/ms_deform_attn_func.py:52-72`) implemented as oracle."""

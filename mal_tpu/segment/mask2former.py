@@ -52,18 +52,22 @@ class Mask2Former(nn.Module):
     score_threshold: float = 0.0
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
     bf16_backbone: bool = False  # bf16 Swin matmuls (see SwinTransformer)
+    drop_path_rate: float = 0.3  # train-mode stochastic depth
+                                 # (`mask2former/config.py:86`)
 
     @nn.compact
-    def __call__(self, images: Array,
-                 return_aux: bool = False) -> tuple[Array, Array]:
+    def __call__(self, images: Array, return_aux: bool = False,
+                 train: bool = False) -> tuple[Array, Array]:
         """images: (B, H, W, 3) in [0, 1] RGB.
         Returns (pred_logits (B, Q, K+1), pred_masks (B, Q, H/4, W/4));
         with `return_aux`, stacked per-decoder-layer predictions for deep
-        supervision (see MaskedTransformerDecoder)."""
+        supervision (see MaskedTransformerDecoder). `train=True` enables
+        Swin stochastic depth (requires a "droppath" rng)."""
         x = preprocess_images(images, self.bgr_input)
         feats = SwinTransformer(self.swin_size,
                                 bf16_compute=self.bf16_backbone,
-                                name="backbone")(x)
+                                drop_path_rate=self.drop_path_rate,
+                                name="backbone")(x, train=train)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(
             name="pixel_decoder")(feats)
         logits, masks = MaskedTransformerDecoder(
@@ -127,7 +131,9 @@ def mask2former_train_loss(model: Mask2Former, params, images: Array,
                                            weighted_total)
 
     cfg = criterion_cfg or CriterionConfig(num_classes=model.num_classes)
-    logits, masks = model.apply(params, images, return_aux=True)
+    key, kd = jax.random.split(key)
+    logits, masks = model.apply(params, images, return_aux=True, train=True,
+                                rngs={"droppath": kd})
     losses = set_criterion_deep(key, logits, masks, tgt_labels, tgt_masks,
                                 tgt_valid, cfg)
     total = weighted_total(losses, weight_dict(cfg, logits.shape[0] - 1))

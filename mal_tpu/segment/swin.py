@@ -128,12 +128,25 @@ class SwinBlock(nn.Module):
     window_size: int
     mlp_ratio: float = 4.0
     compute_dtype: object = None
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, shift_flag: Array) -> Array:
+    def __call__(self, x: Array, shift_flag: Array,
+                 drop_rate: Array | None = None) -> Array:
         """x: (B, H, W, C); shift_flag: () 0.0 or 1.0. Pads internally to
-        window multiples (like the reference, `swin.py` W-MSA forward)."""
+        window multiples (like the reference, `swin.py` W-MSA forward).
+        `drop_rate`: per-block stochastic-depth probability (training;
+        the reference's timm DropPath on both residual branches,
+        `backbone/swin.py:292-293`)."""
         B, H, W, C = x.shape
+
+        def drop_path(y):
+            if not self.train or drop_rate is None:
+                return y
+            keep = 1.0 - drop_rate
+            mask = jax.random.bernoulli(
+                self.make_rng("droppath"), keep, (B, 1, 1, 1))
+            return y * mask.astype(y.dtype) / keep
         ws = self.window_size
         Hp = -(-H // ws) * ws
         Wp = -(-W // ws) * ws
@@ -154,14 +167,14 @@ class SwinBlock(nn.Module):
         y = window_reverse(wins.reshape(-1, ws, ws, C), ws, Hp, Wp)
         y = jnp.roll(y, (-roll, -roll), axis=(1, 2))
         y = y[:, :H, :W]
-        x = shortcut + y
+        x = shortcut + drop_path(y)
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.compute_dtype,
                      name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(C, dtype=self.compute_dtype, name="mlp_fc2")(y)
-        return x + y.astype(x.dtype)
+        return x + drop_path(y.astype(x.dtype))
 
 
 class SwinStage(nn.Module):
@@ -174,25 +187,30 @@ class SwinStage(nn.Module):
     window_size: int
     depth: int
     compute_dtype: object = None
+    train: bool = False
+    drop_rates: tuple = ()   # per-block stochastic-depth probabilities
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         flags = jnp.asarray(
             [0.0 if b % 2 == 0 else 1.0 for b in range(self.depth)])
+        rates = jnp.asarray(self.drop_rates or [0.0] * self.depth)
 
-        def body(block, carry, flag):
-            return block(carry, flag), None
+        def body(block, carry, scanned_in):
+            flag, rate = scanned_in
+            return block(carry, flag, rate), None
 
         scanned = nn.scan(
             body,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "droppath": True},
             length=self.depth,
         )
         y, _ = scanned(
             SwinBlock(self.dim, self.num_heads, self.window_size,
-                      compute_dtype=self.compute_dtype, name="blocks"),
-            x, flags)
+                      compute_dtype=self.compute_dtype, train=self.train,
+                      name="blocks"),
+            x, (flags, rates))
         return y
 
 
@@ -234,10 +252,14 @@ class SwinTransformer(nn.Module):
     """
     size: str = "large"
     bf16_compute: bool = False
+    drop_path_rate: float = 0.0  # reference trains Swin-L with 0.3
+                                 # (`mask2former/config.py:86`), linspace-
+                                 # scheduled over all blocks (`swin.py:584`)
 
     @nn.compact
-    def __call__(self, x: Array) -> dict[str, Array]:
+    def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
         embed_dim, depths, heads, ws = CONFIGS[self.size]
+        dpr = np.linspace(0.0, self.drop_path_rate, sum(depths))
         B, H, W, _ = x.shape
         assert H % 32 == 0 and W % 32 == 0
 
@@ -248,9 +270,14 @@ class SwinTransformer(nn.Module):
         outs = {}
         dim = embed_dim
         cdt = jnp.bfloat16 if self.bf16_compute else None
+        block0 = 0
         for stage in range(4):
             y = SwinStage(dim, heads[stage], ws, depths[stage],
-                          compute_dtype=cdt, name=f"stage{stage}")(y)
+                          compute_dtype=cdt, train=train,
+                          drop_rates=tuple(
+                              dpr[block0:block0 + depths[stage]]),
+                          name=f"stage{stage}")(y)
+            block0 += depths[stage]
             out = nn.LayerNorm(name=f"out_norm{stage}")(y)
             outs[f"res{stage + 2}"] = out
             if stage < 3:

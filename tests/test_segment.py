@@ -56,6 +56,35 @@ def test_swin_bf16_compute_close_to_fp32():
         assert np.abs(a - b).max() / scale < 0.05, k
 
 
+def test_swin_drop_path():
+    """Stochastic depth (`mask2former/config.py:86`, swin.py:292-293):
+    identity at eval, per-key random at train, deterministic per key."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 64, 96, 3)), jnp.float32)
+    plain = SwinTransformer("tiny")
+    dp = SwinTransformer("tiny", drop_path_rate=0.5)
+    vars_ = plain.init(jax.random.PRNGKey(0), x)
+
+    # eval: drop-path is identity -> same outputs as the rate-0 model
+    o_plain = plain.apply(vars_, x)
+    o_eval = dp.apply(vars_, x)
+    for k in o_plain:
+        np.testing.assert_array_equal(np.asarray(o_plain[k]),
+                                      np.asarray(o_eval[k]))
+
+    # train: rng-dependent, deterministic per key, different across keys
+    t1 = dp.apply(vars_, x, train=True,
+                  rngs={"droppath": jax.random.PRNGKey(1)})
+    t1b = dp.apply(vars_, x, train=True,
+                   rngs={"droppath": jax.random.PRNGKey(1)})
+    t2 = dp.apply(vars_, x, train=True,
+                  rngs={"droppath": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(np.asarray(t1["res5"]),
+                                  np.asarray(t1b["res5"]))
+    assert np.abs(np.asarray(t1["res5"]) - np.asarray(t2["res5"])).max() > 0
+    assert np.isfinite(np.asarray(t1["res5"])).all()
+
+
 def test_ms_deform_attn_core_matches_torch_reference():
     """Parity with the reference's pure-torch fallback
     (`ops/functions/ms_deform_attn_func.py:52-72`) implemented as oracle."""

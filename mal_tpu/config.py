@@ -114,7 +114,13 @@ class Config:
     cv_pool: bool = False
     cv_pool_radius: int = 1
     cv_pool_th: float = 0.7
-    no_teacher_warp: bool = False
+    no_warp: bool = False         # disable the DOMD warp entirely
+    # reference default TRUE (`--no_teacher_warp` is store_false,
+    # `dynamicdepth/options.py:337-339`): the mono identity preds come from
+    # `ori_color` — frame -1 pristine, frame "+1" the MUTATED frame -1 (an
+    # upstream copy-paste: `trainer.py:528-529` clones color[-1] for
+    # ori_color[+1] after the -1 mutation) — instead of the DOMD'd frames
+    no_teacher_warp: bool = True
     # feature-metric loss family (`dynamicdepth/options.py:142-154`,
     # `trainer.py:1123-1156`)
     feat_loss: bool = False

@@ -125,7 +125,12 @@ def occlusion_aware_cost_volume(
         if cv_min:
             diffs = jnp.where(diffs == 0, 1.0, diffs)
             diffs = jnp.where(valid_frame > 0, diffs, 1.0)
-            cost = jnp.min(diffs, axis=1)
+            # the reference's running `minimum(diffs, cost)` starts from a
+            # ONES-initialized volume (`resnet_encoder.py:165-166,228`), so
+            # any diff >= 1.0 saturates at the init value and is then
+            # zeroed as "missing" by `cost_volume[cost_volume==1] = 0`
+            # (`:233`) — min over frames alone is NOT equivalent
+            cost = jnp.minimum(jnp.min(diffs, axis=1), 1.0)
             cost = jnp.where(cost == 1.0, 0.0, cost)
         else:
             cost = jnp.sum(diffs, axis=1)
@@ -139,7 +144,8 @@ def occlusion_aware_cost_volume(
             if cv_min:
                 d2 = jnp.where(diffs == 0, 1.0, diffs)
                 d2 = jnp.where(valid_frame > 0, d2, 1.0)
-                c = jnp.min(d2, axis=1)
+                # ones-init saturation, see the pool branch above
+                c = jnp.minimum(jnp.min(d2, axis=1), 1.0)
                 return None, (c, jnp.zeros_like(c))
             c = jnp.sum(diffs, axis=1)
             n = jnp.sum((diffs > 0).astype(dtype), axis=1)

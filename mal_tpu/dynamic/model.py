@@ -104,7 +104,7 @@ class DynDepthModel(nn.Module):
 
         # --- DOMD warp of the adjacent frames (`trainer.py:492-537`) ---
         color_m1, color_p1 = inputs["color"]["-1"], inputs["color"]["1"]
-        if "doj_mask" in inputs and not cfg.no_teacher_warp:
+        if "doj_mask" in inputs and not cfg.no_warp:
             color_m1, color_p1, lookup_frames = domd_warp_inputs(
                 cfg, inputs, mono_disp, outputs["cam_T_cam/0/-1"],
                 outputs["cam_T_cam/0/1"], aug_mask, lookup_frames,

@@ -34,13 +34,37 @@ def reprojection_loss(pred: Array, target: Array) -> Array:
 
 
 def reprojection_loss_zero_img(pred: Array, target: Array) -> Array:
-    """`--zero_img` variant (`dynamicdepth/trainer.py:955-963`): where the
-    warped prediction is black (sum over channels < 0.1 — DOMD-blanked
-    pixels), zero both pred and target so those pixels contribute no loss."""
+    """`--zero_img` variant (`dynamicdepth/trainer.py:955-963`), single-pair
+    form: where the warped prediction is black (sum over channels < 0.1 —
+    DOMD-blanked pixels), zero both pred and target so those pixels
+    contribute no loss. NOTE: the reference's actual training path is the
+    STATEFUL `zero_img_reproj_sequence` below — `trainer.py:965` mutates
+    the shared target tensor in place without cloning."""
     black = (jnp.sum(pred, axis=-1, keepdims=True) < 0.1)
     black = jax.lax.stop_gradient(black)
     return reprojection_loss(jnp.where(black, 0.0, pred),
                              jnp.where(black, 0.0, target))
+
+
+def zero_img_reproj_sequence(target: Array, preds: Sequence[Array]
+                             ) -> tuple[list[Array], Array]:
+    """Reference-exact `--zero_img` semantics across a SEQUENCE of preds.
+
+    `compute_reprojection_loss` (`dynamicdepth/trainer.py:958-966`) zeroes
+    the target in place (`target[mask] = 0` — pred is cloned, target is
+    NOT), so each successive call sees the union of all previous preds'
+    black-hole masks, and everything downstream that reads the frame-0
+    color (the identity pass, the smoothness term, the later multi-frame
+    `compute_losses` call) sees the final mutated tensor. Returns the
+    per-pred loss maps in call order and the final target."""
+    outs = []
+    for pred in preds:
+        hole = jax.lax.stop_gradient(
+            jnp.sum(pred, axis=-1, keepdims=True) < 0.1)
+        pred_z = jnp.where(hole, 0.0, pred)
+        target = jnp.where(hole, 0.0, target)
+        outs.append(reprojection_loss(pred_z, target))
+    return outs, target
 
 
 def apply_selec_reproj(reproj_all: Array, warped: Sequence[Array]) -> Array:
@@ -146,22 +170,33 @@ def mono_losses(
     smoothness_weight: float = 1e-3,
     reproj_fn=reprojection_loss,
     selec_reproj: bool = False,
+    reproj_maps: Sequence[Array] | None = None,
+    identity_maps: Sequence[Array] | None = None,
+    smooth_color: Array | None = None,
 ) -> MonoLossOut:
-    """Teacher losses. Reference: `manydepth/loss_utils.py:57-129`."""
-    reproj_all = [reproj_fn(p, color) for p in list(warped) + list(syn)]
-    reproj_all = jnp.concatenate(reproj_all, axis=-1)
+    """Teacher losses. Reference: `manydepth/loss_utils.py:57-129`.
+
+    `reproj_maps` / `identity_maps` / `smooth_color` inject precomputed
+    per-frame loss maps and the smoothness color — used by the zero_img
+    stateful-target path (`zero_img_reproj_sequence`)."""
+    if reproj_maps is None:
+        reproj_maps = [reproj_fn(p, color) for p in list(warped) + list(syn)]
+    reproj_all = jnp.concatenate(list(reproj_maps), axis=-1)
     if selec_reproj and not syn:
         reproj_min = apply_selec_reproj(reproj_all, list(warped))
     else:
         reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
 
-    ident = jnp.concatenate([reproj_fn(p, color) for p in identity], -1)
+    if identity_maps is None:
+        identity_maps = [reproj_fn(p, color) for p in identity]
+    ident = jnp.concatenate(list(identity_maps), -1)
     ident_min = jnp.min(ident, axis=-1, keepdims=True)
     noise = jax.random.normal(rng, ident_min.shape, ident_min.dtype) * 1e-5
     mask = automask(reproj_min, ident_min + noise)
 
     reproj = jnp.sum(reproj_min * mask) / (jnp.sum(mask) + 1e-7)
-    sm = normalized_smooth_loss(disp, color)
+    sm = normalized_smooth_loss(
+        disp, color if smooth_color is None else smooth_color)
     total = reproj + smoothness_weight * sm
     return MonoLossOut(total, reproj, sm, reproj_min)
 
@@ -191,6 +226,8 @@ def multi_losses(
     smoothness_weight: float = 1e-3,
     reproj_fn=reprojection_loss,
     selec_reproj: bool = False,
+    reproj_maps: Sequence[Array] | None = None,
+    smooth_color: Array | None = None,
 ) -> MultiLossOut:
     """Student losses + MAL distillation hint.
 
@@ -198,9 +235,11 @@ def multi_losses(
     cost-volume consistency mask times (1 - augmentation mask); its complement
     gates the teacher-consistency loss; the distillation target is the
     per-pixel argmin over {mono, ensemble, multi} reprojection errors.
+    `reproj_maps` / `smooth_color` as in `mono_losses` (zero_img path).
     """
-    reproj_all = [reproj_fn(p, color) for p in list(warped) + list(syn)]
-    reproj_all = jnp.concatenate(reproj_all, axis=-1)
+    if reproj_maps is None:
+        reproj_maps = [reproj_fn(p, color) for p in list(warped) + list(syn)]
+    reproj_all = jnp.concatenate(list(reproj_maps), axis=-1)
     if selec_reproj and not syn:
         multi_min_reproj = apply_selec_reproj(reproj_all, list(warped))
     else:
@@ -213,7 +252,8 @@ def multi_losses(
 
     consistency = jnp.mean(jnp.abs(multi_depth - mono_depth) * consistency_mask)
 
-    sm = normalized_smooth_loss(disp, color)
+    sm = normalized_smooth_loss(
+        disp, color if smooth_color is None else smooth_color)
     loss = reproj + consistency + smoothness_weight * sm
 
     # --- distillation hint ---

@@ -103,7 +103,13 @@ class HRNet(nn.Module):
     base_width: int = 18  # 18 | 32 | 48 | 64
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False, stem_only: bool = False):
+    def __call__(self, x: Array, train: bool = False, stem_only: bool = False,
+                 stages_count: int | None = None):
+        """`stages_count=B` runs the STEM on the full (e.g. concatenated 2B)
+        batch but the stages/branches on the first B items only — the
+        reference feeds cat([image1, image2]) through the stem so train-mode
+        BatchNorm statistics pool BOTH images (`depth_pose.py:203-213`),
+        then continues the HRNet stages on image1's half (`:210`)."""
         w = self.base_width
         ch2 = (w, 2 * w)
         ch3 = (w, 2 * w, 4 * w)
@@ -122,6 +128,9 @@ class HRNet(nn.Module):
             # (`depth_pose.py:203-213` runs the stem on both images, the
             # stages on image1 only)
             return {"stem1": stem1, "stem2": stem2}
+
+        if stages_count is not None:
+            y = y[:stages_count]
 
         # stage1: 4 Bottlenecks at 64 -> 256 channels
         z = y
@@ -154,7 +163,7 @@ class HRNet(nn.Module):
         taps = {
             "stem1": stem1,
             "stem2": stem2,
-            "list18": [stem2, s2[0], s3[0], s4[0]],
+            "list18": [y, s2[0], s3[0], s4[0]],
             "list36": [s2[1], s3[1], s4[1]],
             "list72": [s3[2], s4[2]],
             "x144": s4[3],

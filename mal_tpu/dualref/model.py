@@ -174,12 +174,16 @@ class DEQDepthPose(nn.Module):
                  invert: bool = False, side: int = 0, train: bool = False,
                  sides: Array | None = None,
                  num_iters: int | None = None,
-                 combine_via_mask: bool | None = None):
+                 combine_via_mask: bool | None = None,
+                 image3: Array | None = None):
         """Returns (outputs dict, poses [T0, T*]).
 
         outputs: {"disp_0_0", "disp_2_0"} initial + {"disp_0_k", "disp_2_k"}
         per supervised trajectory state (k>=1; eval has k=1 only).
-        """
+        `image3` (the future frame, default frame_ids third entry) adds
+        outputs["pose_p1"] — the pose-net-only forward the reference runs
+        for f_i > 0 (`trainer.py:325-330` -> `depth_pose.forward_pose`,
+        not inverted)."""
         cfg = self.cfg
         B, H, W, _ = image1.shape
         if num_iters is None:
@@ -191,9 +195,14 @@ class DEQDepthPose(nn.Module):
         im1 = imagenet_normalize(image1)
         im2 = imagenet_normalize(image2)
 
-        # trunk: full stages on image1, stem only on image2
-        taps1 = self.trunk(im1, train=train)
-        taps2 = self.trunk(im2, train=train, stem_only=True)
+        # the stem runs on the CONCATENATED pair so train-mode BatchNorm
+        # statistics pool both images like the reference
+        # (`depth_pose.py:203-213`); stages/decoder run on image1's half
+        taps = self.trunk(jnp.concatenate([im1, im2], axis=0), train=train,
+                          stages_count=B)
+        taps1 = {**taps, "stem1": taps["stem1"][:B],
+                 "stem2": taps["stem2"][:B]}
+        taps2 = {"stem1": taps["stem1"][B:], "stem2": taps["stem2"][B:]}
 
         disps, inter = self.decoder(taps1)
         x2b = inter["relu_x18"]
@@ -207,9 +216,12 @@ class DEQDepthPose(nn.Module):
 
         K2 = geometry.scale_intrinsics(K_full, 2)
 
-        # uncertainty weights for the GN pose update (`utils.py:291-298`)
-        src_w = 1.0 / (1.0 + self.pose_weights(taps1["stem2"], train=train))
-        tgt_w = 1.0 / (1.0 + self.pose_weights(taps2["stem2"], train=train))
+        # uncertainty weights for the GN pose update (`utils.py:291-298`);
+        # ONE call on the 2B concat: the head has BatchNorm and the
+        # reference splits after (`compute_uncertainty`, feats 2B)
+        w2b = self.pose_weights(taps["stem2"], train=train)
+        src_w = 1.0 / (1.0 + w2b[:B])
+        tgt_w = 1.0 / (1.0 + w2b[B:])
 
         pose0 = self._initial_pose(im1, im2, invert, side, train, sides=sides)
 
@@ -283,6 +295,7 @@ class DEQDepthPose(nn.Module):
                 stop_mode=cfg.deq_stop_mode)
             if train:
                 res = jax.tree.map(lax.stop_gradient, res)
+            anderson_res = res
             n_star, d_star = unflatten(res.result)
             solve_state = DEQState(n_star, d_star, res.aux[0], res.aux[1])
             poses_t += list(res.aux_trajectory[0])
@@ -292,6 +305,7 @@ class DEQDepthPose(nn.Module):
                 states_t.append(DEQState(zn, zd, res.aux_trajectory[0][i],
                                          res.aux_trajectory[1][i]))
         else:
+            anderson_res = None
             for _ in range(num_iters):
                 solve_state = deq_func(solve_state)
                 if train:
@@ -301,7 +315,8 @@ class DEQDepthPose(nn.Module):
                 states_t.append(solve_state)
         state_star = solve_state
 
-        # pose with the minimum update norm over the trajectory
+        # pose with the minimum update norm over the trajectory — BOTH
+        # branches (`depth_pose.py:540-545` train, `:604-609` eval)
         poses_t = jnp.stack(poses_t)  # (T, B, 4, 4)
         upds_t = jnp.stack(upds_t)    # (T, B)
         best = jnp.argmin(upds_t, axis=0)  # (B,)
@@ -315,18 +330,64 @@ class DEQDepthPose(nn.Module):
             # detached value (n_losses=1 = the final state, the reference
             # default). `--indexing i j ...` taps explicit solver steps
             # (the reference appends f_thres as the final tap).
-            n_avail = len(states_t)
-            if cfg.deq_indexing:
-                sel = sorted({min(max(int(i), 1), n_avail) - 1
-                              for i in (*cfg.deq_indexing, n_avail)})
+            if anderson_res is not None:
+                # deq-lib tap semantics (`lib/solvers.anderson`, mirrored
+                # at tests/ref_oracle/deq_lib.py:83-85): a tap at solver
+                # step s yields the LOWEST-residual Anderson-mixed iterate
+                # X_j with j <= s-3 (warmup evaluations are never
+                # candidates); with the default indexing=[f_thres] the tap
+                # IS the solver result.
+                if cfg.deq_indexing:
+                    steps_sel = sorted({int(i) for i in cfg.deq_indexing}
+                                       | {num_iters})
+                elif cfg.deq_n_losses > 1:
+                    n_loss = min(num_iters, max(cfg.deq_n_losses, 1))
+                    delta = num_iters // n_loss
+                    steps_sel = [(kk + 1) * delta for kk in range(n_loss)]
+                else:
+                    steps_sel = [num_iters]
+                fired = [t for t in steps_sel if 3 <= t <= num_iters]
+                if not fired:  # deq-lib fallback: one tap, the final lowest
+                    fired = [num_iters]
+                trace = (anderson_res.abs_trace
+                         if cfg.deq_stop_mode == "abs"
+                         else anderson_res.rel_trace)
+                sel_taps = []
+                for t in fired:
+                    if t - 2 <= 0 or trace.shape[0] == 0:
+                        # deq-lib with threshold <= 2: the mixing loop never
+                        # ran, the tap is the unmodified x0 (== res.result)
+                        z_tap = anderson_res.result
+                    else:
+                        jj = jnp.argmin(trace[:t - 2])
+                        z_tap = jnp.take(anderson_res.mixed_trajectory, jj,
+                                         axis=0)
+                    zn, zd = unflatten(z_tap)
+                    sel_taps.append(DEQState(zn, zd, pose_star,
+                                             state_star.upd_norm))
+                sel = list(range(len(sel_taps)))
+                states_for_tap = sel_taps
             else:
-                n_loss = max(cfg.deq_n_losses, 1)
-                delta = max(n_avail // n_loss, 1)
-                sel = sorted({min((k + 1) * delta, n_avail) - 1
-                              for k in range(n_loss)})
+                n_avail = len(states_t)
+                if cfg.deq_indexing:
+                    sel = sorted({min(max(int(i), 1), n_avail) - 1
+                                  for i in (*cfg.deq_indexing, n_avail)})
+                else:
+                    n_loss = max(cfg.deq_n_losses, 1)
+                    delta = max(n_avail // n_loss, 1)
+                    sel = sorted({min((k + 1) * delta, n_avail) - 1
+                                  for k in range(n_loss)})
+                states_for_tap = states_t
             final_states = []
+            # the phantom deq_func calls CONTINUE the pose evolution from
+            # the min-update-norm pose the train branch just installed
+            # (`depth_pose.py:540-551`: self.poses := argmin pick, then
+            # produce_grad's deq_func calls read and mutate self.poses);
+            # the pose after the LAST phantom call is the returned T*
+            phantom_pose = pose_star
             for pos, idx in enumerate(sel):
-                z = jax.tree.map(lax.stop_gradient, states_t[idx])
+                z = jax.tree.map(lax.stop_gradient, states_for_tap[idx])
+                z = DEQState(z.net, z.depth, phantom_pose, z.upd_norm)
                 if cfg.deq_ift and pos == len(sel) - 1:
                     # `--ift`: the last tap's gradient comes from the
                     # implicit function theorem (`depth_pose.py:507-513`)
@@ -350,10 +411,12 @@ class DEQDepthPose(nn.Module):
                 for _ in range(cfg.phantom_grad_steps):
                     z = deq_func(z)
                     steps_out.append(z)
+                phantom_pose = z.pose
                 # `--sup_all`: every phantom step is supervised, not only
                 # the last (the DEQ lib's backward_factory(sup_all=True))
                 final_states.extend(steps_out if cfg.deq_sup_all
                                     else steps_out[-1:])
+            pose_star = phantom_pose
         else:
             final_states = [state_star]
 
@@ -365,9 +428,17 @@ class DEQDepthPose(nn.Module):
 
         if combine_via_mask or train:
             # training always computes the mask for the consistency loss
-            # (`depth_pose.py:553-593`); eval additionally blends with it
+            # (`depth_pose.py:553-593`); eval additionally blends with it.
+            # TRAIN quirk: the reference's `_deq_forward` DISCARDS the
+            # solver result (`_, trajectory, ... = self._fixed_point_solve`)
+            # so the mask block's `vec2list(z_star)[1]` reads the INITIAL
+            # depth, paired with the post-phantom pose; eval reassigns
+            # z_star to the solved state first.
+            mask_state = (DEQState(net0, depth0, pose_star,
+                                   state_star.upd_norm)
+                          if train else state_star)
             mask = self._consistency_mask(
-                state_star, pose_star, fmap1, f2_pyramid, K2)
+                mask_state, pose_star, fmap1, f2_pyramid, K2)
             outputs["consistency_mask"] = mask
         if combine_via_mask and not train:
             m = mask.astype(outputs["disp_2_1"].dtype)
@@ -376,6 +447,13 @@ class DEQDepthPose(nn.Module):
             m0 = resize_nearest(m, H, W)
             outputs["disp_0_1"] = (outputs["disp_0_1"] * m0
                                    + outputs["disp_0_0"] * (1 - m0))
+
+        if image3 is not None:
+            # future-frame pose, pose-net only (`trainer.py:325-330`,
+            # `depth_pose.forward_pose` — NOT inverted)
+            im3 = imagenet_normalize(image3)
+            outputs["pose_p1"] = self._initial_pose(
+                im1, im3, invert=False, side=side, train=train, sides=sides)
 
         return outputs, [pose0, pose_star]
 

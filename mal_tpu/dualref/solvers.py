@@ -172,6 +172,9 @@ class AuxSolverResult(NamedTuple):
     z_trajectory: Array  # f(z) after every evaluation (T, B, D)
     rel_trace: Array
     abs_trace: Array
+    mixed_trajectory: Array  # Anderson-mixed candidate iterates X_k
+                             # (n_scan, B, D) — what deq-lib tap/`indexing`
+                             # selections draw from (prefix-lowest)
 
 
 def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
@@ -248,7 +251,7 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_t)
         zero = jnp.zeros((0,), z0.dtype)
         return AuxSolverResult(z0, aux, traj, jnp.stack([f0, f1]),
-                               zero, zero)
+                               zero, zero, jnp.zeros((0, B, D), z0.dtype))
 
     ks = jnp.arange(2, n_scan + 2)
     (_, _, aux_star), (xs_mix, zs, auxs, abs_t, rel_t) = lax.scan(
@@ -259,7 +262,8 @@ def anderson_solver_aux(f: Callable, z0: Array, aux0: Any, steps: int,
     traj = jax.tree.map(lambda w, s: jnp.concatenate([w, s], axis=0),
                         warm, auxs)
     z_traj = jnp.concatenate([jnp.stack([f0, f1]), zs], axis=0)
-    return AuxSolverResult(z_star, aux_star, traj, z_traj, rel_t, abs_t)
+    return AuxSolverResult(z_star, aux_star, traj, z_traj, rel_t, abs_t,
+                           xs_mix)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

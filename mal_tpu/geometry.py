@@ -150,6 +150,21 @@ def project_3d(points: Array, K: Array, T: Array, height: int, width: int,
     return jnp.clip(grid, -10.0, 10.0)
 
 
+def project_3d_center(points: Array, K: Array, T: Array, height: int,
+                      width: int, eps: float = 1e-7) -> Array:
+    """`project_3d` with DualRefine's pixel-CENTER normalization:
+    grid = 2*(pix + 0.5)/W - 1 (`dualrefine/layers.py:216-226`), the
+    convention matching grid_sample align_corners=False (ManyDepth uses
+    (W-1)-edge normalization with align_corners=True instead)."""
+    P = (K @ T)[:, :3, :]
+    cam_points = jnp.einsum("bij,bjn->bin", P, points, precision="highest")
+    pix = cam_points[:, :2, :] / _safe_denom(cam_points[:, 2:3, :] + eps)
+    pix = pix.reshape(-1, 2, height, width).transpose(0, 2, 3, 1)
+    scale = jnp.asarray([width, height], pix.dtype)
+    grid = 2.0 * (pix + 0.5) / scale - 1.0
+    return jnp.clip(grid, -10.0, 10.0)  # see project_3d for why
+
+
 def _safe_denom(z: Array, floor: float = 1e-6) -> Array:
     """Sign-preserving clamp of a projective denominator away from zero.
 

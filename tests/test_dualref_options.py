@@ -147,10 +147,18 @@ def test_sup_all_and_indexing_supervise_more_states():
     ks = [k for k in out if k.startswith("disp_2_") and k != "disp_2_0"]
     assert len(ks) == 2  # both phantom steps supervised
 
+    # deq-lib drops taps at step <= 2 (its loop starts at k=2, firing on
+    # k+1) — validated by the gradient oracle — so tap step 3 is the
+    # earliest that can fire alongside the appended final state
+    cfg = _tiny_cfg(deq_indexing=(3,))
+    _, out, _ = _run_forward(cfg, train=True)
+    ks = [k for k in out if k.startswith("disp_2_") and k != "disp_2_0"]
+    assert len(ks) == 2  # tap at step 3 + the final state
+
     cfg = _tiny_cfg(deq_indexing=(2,))
     _, out, _ = _run_forward(cfg, train=True)
     ks = [k for k in out if k.startswith("disp_2_") and k != "disp_2_0"]
-    assert len(ks) == 2  # tap at step 2 + the final state
+    assert len(ks) == 1  # the step-2 tap silently drops, as upstream
 
 
 def test_ift_train_step_finite_grads():

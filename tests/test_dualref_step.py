@@ -88,8 +88,14 @@ def test_freeze_backbone_trains_student_only():
 @pytest.mark.slow
 def test_n_losses_trajectory_supervision():
     """--n_losses > 1 supervises multiple trajectory states: the model emits
-    disp_0_1..disp_0_n and the step trains on all of them."""
-    cfg = CFG.replace(deq_n_losses=2, deq_iters=4)
+    disp_0_1..disp_0_n and the step trains on all of them.
+
+    deq-lib tap semantics (validated by the gradient oracle): with
+    n_losses=2 the taps sit at steps [f_thres//2, f_thres], and taps at
+    step <= 2 silently drop (the solver loop starts at k=2), so f_thres
+    must be >= 6 for BOTH taps to fire — with f_thres=4 the reference
+    emits a single supervised state."""
+    cfg = CFG.replace(deq_n_losses=2, deq_iters=6)
     model = DEQDepthPose(cfg)
     rng = jax.random.PRNGKey(0)
     batch = synthetic_batch(cfg, rng, batch_size=1)

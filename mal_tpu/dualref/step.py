@@ -143,7 +143,7 @@ def make_dualref_loss_fn(cfg: Config, model) -> Callable:
             sm = losses.normalized_smooth_loss(disp_s, color_s)
             return (reproj + consistency
                     + cfg.disparity_smoothness * sm / (2 ** scale),
-                    reproj, depth)
+                    reproj, depth, consistency)
 
         total = 0.0
         metrics = {}
@@ -152,7 +152,7 @@ def make_dualref_loss_fn(cfg: Config, model) -> Callable:
             iters = range(n_losses + 1) if scale in (0, 1, 2) else range(1)
             loss_acc = 0.0
             for k in iters:
-                L, reproj, depth = state_loss(
+                L, reproj, depth, consistency = state_loss(
                     scale, k, jax.random.fold_in(rng_noise, 10 * scale + k))
                 state_depths[(scale, k)] = depth
                 loss_acc = loss_acc + L
@@ -161,6 +161,8 @@ def make_dualref_loss_fn(cfg: Config, model) -> Callable:
                 total = total + loss_acc
                 if scale == 0:
                     metrics[f"reproj_{k}"] = reproj
+                    if k > 0:
+                        metrics["consistency_loss"] = consistency
         total = total / NUM_SCALES
 
         # --- pose-update loss: T* with the REFINED depth, with gradients
@@ -183,7 +185,7 @@ def make_dualref_loss_fn(cfg: Config, model) -> Callable:
         total = total + pose_loss
 
         metrics["pose_loss"] = pose_loss
-        metrics["consistency_loss"] = jnp.zeros(())  # kept for sinks
+        metrics.setdefault("consistency_loss", jnp.zeros(()))
         metrics["loss"] = total
         aux = {"batch_stats": mutated.get("batch_stats", batch_stats),
                "depth0": jax.lax.stop_gradient(state_depths[(0, 0)]),

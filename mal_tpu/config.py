@@ -68,7 +68,9 @@ class Config:
     loss_blc: bool = True         # automatic two-term loss re-balancing
     temporal: bool = False        # temporal hint (dynamic-object synthesis)
     main_temporal: bool = False
-    ins_threshold: float = 0.5    # instance score threshold for temporal hint
+    ins_threshold: float = 0.9    # instance score threshold for the
+                                  # temporal hint (`manydepth/options.py:
+                                  # 299-302` default)
     max_instances: int = 8        # static-shape cap on instances per image
     # loss-balancing lambda schedule (`manydepth/options.py:443-445`)
     lambda_for_adjust_start: float = 3.0

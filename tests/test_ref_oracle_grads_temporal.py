@@ -1,0 +1,295 @@
+"""Gradient oracle for MAL's TEMPORAL hint — the paper's headline path.
+
+Extends tests/test_ref_oracle_grads.py to `--temporal --main_temporal`: one
+reference `process_batch` + backward where `image_synthesis`
+(`manydepth/dyn_utils.py:121-170`) segments the current + warped frames,
+Hungarian-matches instances across frames (`manydepth/matcher.py:63-255`),
+synthesizes dynamic-object-moved frames, and the mono/multi losses take the
+per-pixel min over {warped, synthesized} — asserted gradient-for-gradient
+against mal_tpu's `make_loss_fn` with a seg_fn.
+
+The real Mask2Former cannot run on the torch side (detectron2 absent), so
+BOTH sides get the same deterministic fake segmenter: fixed-box instances
+per role (current / warped-last / warped-next), classes {0, 2}, scores
+{0.9, 0.8}, with the last/next boxes shifted ±8 px so the matcher finds
+cross-frame correspondences and the synthesis actually MOVES pixels. The
+fake is image-independent, so the two frameworks see bit-identical
+instances; roles are disambiguated by call shape/order (the reference
+segments the B=3 current batch first, then per-sample [last, next] pairs;
+mal segments cur/last/next batches in a fixed order). Everything else —
+the reference's matcher, synthesis, and loss assembly — is the reference's
+own code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.ref_oracle.stubs import install_reference_shims
+
+install_reference_shims()
+
+H, W = 96, 320
+BATCH = 3  # must differ from 2: role disambiguation of segmenter calls
+N_INS = 2
+
+# fixed instance boxes (row0, row1, col0, col1) per role; last/next shifted
+# so bbox-center deltas are nonzero and the synthesis moves content
+_BOXES = {
+    "cur": [(20, 44, 64, 128), (48, 72, 192, 256)],
+    "last": [(20, 44, 56, 120), (48, 72, 184, 248)],   # shifted left 8
+    "next": [(20, 44, 72, 136), (48, 72, 200, 264)],   # shifted right 8
+}
+_CLASSES = [0, 2]
+_SCORES = [0.97, 0.95]  # above the reference's ins_threshold default 0.9
+
+
+def _box_masks(role):
+    m = np.zeros((N_INS, H, W), np.float32)
+    for i, (r0, r1, c0, c1) in enumerate(_BOXES[role]):
+        m[i, r0:r1, c0:c1] = 1.0
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_side(tmp_path_factory):
+    from tests.ref_oracle.synth import make_kitti_tree
+
+    root = tmp_path_factory.mktemp("temporal_grad_oracle")
+    data, files = make_kitti_tree(root, BATCH * 2)
+    sp = root / "splits" / "eigen_zhou"
+    sp.mkdir(parents=True)
+    (sp / "train_files.txt").write_text("\n".join(files) + "\n")
+    (sp / "test_files.txt").write_text("\n".join(files[:2]) + "\n")
+    (sp / "val_files.txt").write_text("\n".join(files[:2]) + "\n")
+
+    import manydepth.trainer as ref_trainer_mod
+    from detectron2.structures import Instances as D2Instances
+    from manydepth.options import MonodepthOptions
+
+    class FakeInsModel:
+        """Deterministic segmenter: role by call shape (B=3 -> current,
+        B=2 -> [warped-last, warped-next])."""
+
+        def eval(self):
+            return self
+
+        def to(self, *a):
+            return self
+
+        def __call__(self, input_ls_dict):
+            n = len(input_ls_dict)
+            roles = (["cur"] * n) if n == BATCH else ["last", "next"]
+            out = []
+            for role in roles:
+                inst = D2Instances(
+                    (H, W),
+                    pred_masks=torch.from_numpy(_box_masks(role)) > 0.5,
+                    pred_classes=torch.tensor(_CLASSES),
+                    scores=torch.tensor(_SCORES),
+                )
+                out.append({"instances": inst})
+            return out
+
+    opt = MonodepthOptions().parser.parse_args([
+        "--data_path", data, "--weights_init", "scratch",
+        "--height", str(H), "--width", str(W), "--batch_size", str(BATCH),
+        "--num_workers", "0", "--split", "eigen_zhou",
+        "--distil", "--no_matching_augmentation",
+        "--temporal", "--main_temporal",
+    ])
+
+    # the segmenter construction path needs full detectron2; swap in the
+    # deterministic fake before the Trainer builds it
+    setup_orig = ref_trainer_mod.setup_cfg
+    build_orig = ref_trainer_mod.build_model
+    ckpt_orig = ref_trainer_mod.DetectionCheckpointer
+
+    class _FakeCkpt:
+        def __init__(self, *a, **k):
+            pass
+
+        def load(self, *a, **k):
+            return {}
+
+    class _FakeCfg:
+        class MODEL:
+            WEIGHTS = ""
+
+    ref_trainer_mod.setup_cfg = lambda *a, **k: _FakeCfg
+    ref_trainer_mod.build_model = lambda cfg: FakeInsModel()
+    ref_trainer_mod.DetectionCheckpointer = _FakeCkpt
+
+    cwd = os.getcwd()
+    os.chdir(root)
+    os.makedirs("ckpt", exist_ok=True)
+    try:
+        from accelerate import Accelerator
+
+        torch.manual_seed(0)
+        acc = Accelerator(cpu=True)
+        trainer = ref_trainer_mod.Trainer(opt, acc)
+        trainer.epoch = 0
+        trainer.step = 1
+        trainer.model.train()
+
+        inputs = next(iter(trainer.train_loader))
+        sd0 = {k: v.detach().clone()
+               for k, v in trainer.model.state_dict().items()}
+        min_bin = float(trainer.depth_bin_tracker.min_depth)
+        max_bin = float(trainer.depth_bin_tracker.max_depth)
+
+        import random as pyrandom
+
+        randn_orig, rand_orig = torch.randn, pyrandom.random
+        torch.randn = lambda *a, **k: torch.zeros(*a, **k)
+        pyrandom.random = lambda: 0.9
+        try:
+            outputs, ref_losses = trainer.process_batch(
+                dict(inputs), 0, is_train=True)
+            trainer.model_optimizer.zero_grad()
+            ref_losses["loss"].backward()
+        finally:
+            torch.randn, pyrandom.random = randn_orig, rand_orig
+
+        assert trainer.has_ins and trainer.multi_has_ins, \
+            "fake instances produced no matches — oracle would be vacuous"
+
+        named = dict(trainer.model.named_parameters())
+        grads_sd = {}
+        for k, v in sd0.items():
+            p = named.get(k)
+            grads_sd[k] = (p.grad.detach().clone()
+                           if (p is not None and p.grad is not None)
+                           else (torch.zeros_like(v)
+                                 if v.dtype.is_floating_point else v))
+
+        ck = root / "ck_weights"
+        gk = root / "ck_grads"
+        ck.mkdir()
+        gk.mkdir()
+        torch.save(sd0, ck / "model.pth")
+        torch.save(grads_sd, gk / "model.pth")
+    finally:
+        os.chdir(cwd)
+        ref_trainer_mod.setup_cfg = setup_orig
+        ref_trainer_mod.build_model = build_orig
+        ref_trainer_mod.DetectionCheckpointer = ckpt_orig
+
+    return {"ckpt": str(ck), "gradckpt": str(gk), "inputs": inputs,
+            "loss": float(ref_losses["loss"].detach()),
+            "min_depth_bin": min_bin, "max_depth_bin": max_bin,
+            "frame_ids": list(opt.frame_ids)}
+
+
+def _nchw_to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return np.ascontiguousarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def jax_side(ref_side):
+    import jax
+    import jax.numpy as jnp
+
+    from mal_tpu.config import Config
+    from mal_tpu.convert.torch_weights import convert_mal_checkpoint_dir
+    from mal_tpu.losses import LossBalancerState
+    from mal_tpu.models import MALModel
+    from mal_tpu.segment.instances import Instances
+    from mal_tpu.train.step import make_loss_fn
+
+    cfg = Config(height=H, width=W, batch_size=BATCH, distil=True,
+                 loss_blc=False, use_ensemble=True,
+                 no_matching_augmentation=True, use_pallas=False,
+                 temporal=True, main_temporal=True,
+                 max_instances=N_INS)
+    params, stats, _ = convert_mal_checkpoint_dir(ref_side["ckpt"], 18)
+    gref, _, _ = convert_mal_checkpoint_dir(ref_side["gradckpt"], 18)
+
+    inputs = ref_side["inputs"]
+    batch = {
+        "color": {str(f): jnp.asarray(_nchw_to_nhwc(inputs[("color", f, 0)]))
+                  for f in ref_side["frame_ids"]},
+        "color_aug": {
+            str(f): jnp.asarray(_nchw_to_nhwc(inputs[("color_aug", f, 0)]))
+            for f in ref_side["frame_ids"]},
+        "K": jnp.asarray(inputs[("K", 0)].numpy()),
+        "inv_K": jnp.asarray(inputs[("inv_K", 0)].numpy()),
+    }
+
+    # fake seg_fn: same fixed instances, role by call order (the step calls
+    # cur once, then [mono-last, mono-next, multi-last, multi-next])
+    role_seq = iter(["cur", "last", "next", "last", "next"])
+
+    def fake_seg_fn(seg_variables, images):
+        role = next(role_seq)
+        return Instances(
+            masks=jnp.broadcast_to(jnp.asarray(_box_masks(role))[None],
+                                   (BATCH, N_INS, H, W)),
+            classes=jnp.broadcast_to(jnp.asarray(_CLASSES, jnp.int32)[None],
+                                     (BATCH, N_INS)),
+            scores=jnp.broadcast_to(jnp.asarray(_SCORES)[None],
+                                    (BATCH, N_INS)),
+            valid=jnp.ones((BATCH, N_INS), bool),
+        )
+
+    model = MALModel(cfg)
+    loss_fn = make_loss_fn(cfg, model, seg_fn=fake_seg_fn)
+
+    normal_orig = jax.random.normal
+    jax.random.normal = lambda key, shape, dtype=jnp.float32: jnp.zeros(
+        shape, dtype)
+    try:
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats,
+            jnp.asarray(ref_side["min_depth_bin"]),
+            jnp.asarray(ref_side["max_depth_bin"]),
+            LossBalancerState.create(),
+            batch, jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+            jnp.zeros(()), None)
+    finally:
+        jax.random.normal = normal_orig
+
+    return {"loss": float(total), "grads": grads, "gref": gref}
+
+
+def test_temporal_loss_matches_reference(ref_side, jax_side):
+    assert np.isfinite(jax_side["loss"])
+    np.testing.assert_allclose(jax_side["loss"], ref_side["loss"],
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_temporal_grads_match_reference(ref_side, jax_side):
+    import jax
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(jax_side["grads"])[0]
+    ref_map = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+               jax.tree_util.tree_flatten_with_path(jax_side["gref"])[0]}
+
+    global_scale = max(np.abs(r).max() for r in ref_map.values())
+    checked, failures = 0, []
+    for key, g in flat_ours:
+        name = jax.tree_util.keystr(key)
+        r = ref_map.get(name)
+        assert r is not None, f"missing reference grad for {name}"
+        g = np.asarray(g)
+        assert g.shape == r.shape, name
+        denom = max(np.abs(r).max(), np.abs(g).max())
+        if denom < 1e-12:
+            checked += 1
+            continue
+        err = np.abs(g - r).max()
+        cos = float((g.ravel() @ r.ravel())
+                    / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-30))
+        if err / global_scale > 5e-4 and (err / denom > 5e-3 or cos < 0.9999):
+            failures.append(f"{name}: rel={err / denom:.2e} cos={cos:.6f} "
+                            f"gerr={err / global_scale:.2e}")
+        checked += 1
+
+    assert checked > 100, f"only {checked} gradient tensors compared"
+    assert not failures, "gradient mismatches:\n" + "\n".join(failures[:20])

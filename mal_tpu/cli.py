@@ -81,8 +81,16 @@ def cmd_train(args):
 
     from mal_tpu.train.trainer import Trainer
 
+    seg_variables = None
+    if args.seg_pkl:
+        # frozen Mask2Former weights for the temporal hint / online doj
+        # masks (the reference's --ins_weight_path COCO checkpoint,
+        # `manydepth/options.py:288-295`)
+        from mal_tpu.convert.mask2former import convert_mask2former_pkl
+        seg_variables = convert_mask2former_pkl(args.seg_pkl)
+
     loader = _build_loaders(cfg, shard=shard)
-    trainer = Trainer(cfg, loader)
+    trainer = Trainer(cfg, loader, seg_variables=seg_variables)
     trainer.train()
 
 
@@ -174,6 +182,10 @@ def main(argv=None):
     pt.add_argument("--preset", default="kitti", choices=list(PRESETS))
     pt.add_argument("--data_path", required=True)
     pt.add_argument("--set", nargs="*", help="config overrides key=value")
+    pt.add_argument("--seg_pkl", default=None,
+                    help="detectron2 .pkl Mask2Former weights (required for "
+                         "--set temporal=true/main_temporal=true/"
+                         "online_doj=true)")
     pt.add_argument("--coordinator", default=None,
                     help="host0:port for multi-host DCN training")
     pt.add_argument("--num_hosts", type=int, default=1)

@@ -211,6 +211,13 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             total, new_balancer = losses.loss_balance(
                 balancer,
                 jnp.stack([ori_loss, multi_out.distil_loss]), lam)
+            # the reference's `LossBalancing.compute_loss` re-adds the same
+            # weighted scalar once PER BATCH ITEM (`loss_utils.py:303-312`
+            # accumulates w·loss inside `for index_batch in range(bs)`), so
+            # the trained objective is bs x the weighted sum — verified
+            # against its backward (tests/test_ref_oracle_grads_blc.py:
+            # every gradient exactly halved at bs=2 without this)
+            total = total * color0.shape[0]
         elif cfg.distil:
             # The reference's plain-distil total counts the mono loss TWICE:
             # `compute_main_losses` stores the same tensor under both

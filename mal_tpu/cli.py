@@ -174,6 +174,76 @@ def cmd_eval(args):
     print(json.dumps(results, indent=2))
 
 
+def cmd_finetune_seg(args):
+    """Fine-tune the Mask2Former segmenter on a COCO-format dataset
+    (the training path the reference runs through detectron2's
+    `train_net.py`; here: `segment/{coco,criterion,finetune}.py`)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mal_tpu.segment.coco import CocoInstanceDataset
+    from mal_tpu.segment.criterion import CriterionConfig
+    from mal_tpu.segment.evaluation import evaluate_instances
+    from mal_tpu.segment.finetune import make_seg_finetune_step
+    from mal_tpu.segment.mask2former import Mask2Former, instance_inference
+
+    ds = CocoInstanceDataset(args.annotations, args.images,
+                             args.height, args.width,
+                             max_instances=args.max_instances)
+    model = Mask2Former(num_classes=ds.num_classes, swin_size=args.size,
+                        num_queries=args.num_queries, bgr_input=False)
+    rng = jax.random.PRNGKey(args.seed)
+    if args.seg_pkl:
+        from mal_tpu.convert.mask2former import convert_mask2former_pkl
+        variables = convert_mask2former_pkl(args.seg_pkl, size=args.size)
+    else:
+        variables = model.init(
+            rng, jnp.zeros((1, args.height, args.width, 3)))
+    tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    opt_state = tx.init(variables)
+    ccfg = CriterionConfig(num_classes=ds.num_classes,
+                           num_points=args.num_points)
+    step = jax.jit(make_seg_finetune_step(model, tx, ccfg))
+
+    i = 0
+    for epoch in range(args.epochs):
+        for images, labels, masks, valid in ds.batches(
+                args.batch_size, seed=args.seed + epoch):
+            variables, opt_state, m = step(
+                variables, opt_state, images, labels, masks, valid,
+                jax.random.fold_in(rng, i))
+            i += 1
+            print(f"epoch {epoch} step {i}: "
+                  + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
+
+    # mask AP on the training set (no val split in the minimal CLI)
+    preds, gts = [], []
+    infer = jax.jit(lambda v, im: model.apply(v, im))
+    for images, labels, masks, valid in ds.batches(args.batch_size,
+                                                   shuffle=False):
+        logits, pmasks = infer(variables, images)
+        inst = instance_inference(logits, pmasks, args.height, args.width,
+                                  max_instances=args.max_instances)
+        for b in range(images.shape[0]):
+            preds.append({"masks": np.asarray(inst.masks[b]),
+                          "scores": np.asarray(inst.scores[b]),
+                          "classes": np.asarray(inst.classes[b])})
+            nb = np.asarray(valid[b]).sum()
+            gts.append({"masks": np.asarray(masks[b])[:nb],
+                        "classes": np.asarray(labels[b])[:nb]})
+    ap = evaluate_instances(preds, gts)
+    print(json.dumps({"AP": ap}, indent=2))
+
+    if args.out:
+        from flax import serialization
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "seg_variables.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(variables)))
+        print(f"saved: {path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("mal_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,6 +274,26 @@ def main(argv=None):
                          "(`manydepth/options.py` --eval_teacher)")
     pe.add_argument("--set", nargs="*")
     pe.set_defaults(fn=cmd_eval)
+
+    pf = sub.add_parser("finetune-seg")
+    pf.add_argument("--images", required=True, help="image directory")
+    pf.add_argument("--annotations", required=True, help="COCO json")
+    pf.add_argument("--out", default=None, help="checkpoint output dir")
+    pf.add_argument("--seg_pkl", default=None,
+                    help="initialize from detectron2 .pkl weights")
+    pf.add_argument("--size", default="tiny",
+                    choices=("tiny", "small", "base", "large"))
+    pf.add_argument("--height", type=int, default=256)
+    pf.add_argument("--width", type=int, default=448)
+    pf.add_argument("--epochs", type=int, default=1)
+    pf.add_argument("--batch_size", type=int, default=2)
+    pf.add_argument("--lr", type=float, default=1e-4)
+    pf.add_argument("--weight_decay", type=float, default=0.05)
+    pf.add_argument("--num_queries", type=int, default=100)
+    pf.add_argument("--max_instances", type=int, default=16)
+    pf.add_argument("--num_points", type=int, default=112 * 112)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.set_defaults(fn=cmd_finetune_seg)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -123,6 +123,23 @@ def cmd_eval(args):
 
     from mal_tpu.eval.evaluate import evaluate_depth_maps, infer_disparities
 
+    # stereo-trained models: fixed baseline scale, no median scaling
+    # (`manydepth/evaluate_depth.py:32,245-247` semantics of --eval_stereo)
+    scale_factor = args.pred_depth_scale_factor
+    median_scaling = not args.disable_median_scaling
+    if args.eval_stereo:
+        from mal_tpu.eval.postprocess import STEREO_SCALE_FACTOR
+        scale_factor = STEREO_SCALE_FACTOR
+        median_scaling = False
+
+    if args.ext_disp_to_eval:
+        # evaluate saved predictions without running the model
+        # (`dualrefine/evaluate_depth.py:193-200`)
+        from mal_tpu.eval.postprocess import load_ext_disps
+        disps = load_ext_disps(args.ext_disp_to_eval)
+        _finish_eval(args, cfg, disps, median_scaling, scale_factor)
+        return
+
     is_pth = args.ckpt.endswith(".pth") or (
         os.path.isdir(args.ckpt)
         and any(f.endswith(".pth") for f in os.listdir(args.ckpt)))
@@ -166,11 +183,55 @@ def cmd_eval(args):
         model = MALModel(cfg)
         disps = infer_disparities(model, variables, iter(loader), cfg,
                                   eval_teacher=args.eval_teacher,
-                                  min_depth_bin=min_bin, max_depth_bin=max_bin)
+                                  min_depth_bin=min_bin, max_depth_bin=max_bin,
+                                  zero_cost_volume=args.zero_cost_volume,
+                                  static_camera=args.static_camera,
+                                  post_process=args.post_process)
 
+    median_scaling = not args.disable_median_scaling
+    scale_factor = args.pred_depth_scale_factor
+    if args.eval_stereo:
+        from mal_tpu.eval.postprocess import STEREO_SCALE_FACTOR
+        scale_factor = STEREO_SCALE_FACTOR
+        median_scaling = False
+    _finish_eval(args, cfg, disps, median_scaling, scale_factor)
+
+
+def _finish_eval(args, cfg, disps, median_scaling, scale_factor):
+    from mal_tpu.eval.evaluate import evaluate_depth_maps
+
+    if args.save_pred_disps:
+        from mal_tpu.eval.postprocess import save_pred_disps
+        folder = "."
+        if args.ckpt:
+            folder = args.ckpt if os.path.isdir(args.ckpt) else \
+                os.path.dirname(args.ckpt) or "."
+        path = save_pred_disps(
+            disps, folder, cfg.eval_split,
+            eval_teacher=getattr(args, "eval_teacher", False),
+            zero_cost_volume=getattr(args, "zero_cost_volume", False))
+        print(f"saved predicted disparities: {path}")
+    if args.no_eval:
+        print("evaluation disabled (--no_eval)")
+        return
+    if cfg.eval_split == "benchmark":
+        # KITTI benchmark submission export, no local GT
+        # (`dualrefine/evaluate_depth.py:218-233`)
+        from mal_tpu.eval.postprocess import export_benchmark_predictions
+        out_dir = os.path.join(os.path.dirname(args.gt) if args.gt else ".",
+                               "benchmark_predictions")
+        n = export_benchmark_predictions(np.asarray(disps), out_dir)
+        print(f"exported {n} benchmark predictions to {out_dir}")
+        return
+
+    if not args.gt:
+        raise SystemExit("--gt is required unless --no_eval or "
+                         "eval_split=benchmark")
     gt = np.load(args.gt, fix_imports=True, encoding="latin1",
                  allow_pickle=True)["data"]
-    results = evaluate_depth_maps(disps, gt, eval_split=cfg.eval_split)
+    results = evaluate_depth_maps(disps, gt, eval_split=cfg.eval_split,
+                                  median_scaling=median_scaling,
+                                  pred_depth_scale_factor=scale_factor)
     print(json.dumps(results, indent=2))
 
 
@@ -265,13 +326,36 @@ def main(argv=None):
     pe = sub.add_parser("eval")
     pe.add_argument("--preset", default="kitti", choices=list(PRESETS))
     pe.add_argument("--data_path", required=True)
-    pe.add_argument("--ckpt", required=True)
-    pe.add_argument("--gt", required=True)
+    pe.add_argument("--ckpt", default=None,
+                    help="checkpoint (.pth dir); optional with "
+                         "--ext_disp_to_eval")
+    pe.add_argument("--gt", default=None,
+                    help="gt_depths.npz (optional with --no_eval or "
+                         "eval_split=benchmark)")
     pe.add_argument("--doj_root", default=None,
                     help="dynamic-object mask dir (method=dynamicdepth)")
     pe.add_argument("--eval_teacher", action="store_true",
                     help="evaluate the mono teacher instead of the student "
                          "(`manydepth/options.py` --eval_teacher)")
+    pe.add_argument("--post_process", action="store_true",
+                    help="Monodepth-v1 flip averaging (teacher only)")
+    pe.add_argument("--zero_cost_volume", action="store_true",
+                    help="behavioral probe: zero lookup poses")
+    pe.add_argument("--static_camera", action="store_true",
+                    help="behavioral probe: lookup frames = current frame")
+    pe.add_argument("--save_pred_disps", action="store_true",
+                    help="save the predicted disparity stack next to the "
+                         "checkpoint")
+    pe.add_argument("--ext_disp_to_eval", default=None,
+                    help="evaluate a saved .npy disparity stack instead of "
+                         "running inference")
+    pe.add_argument("--no_eval", action="store_true",
+                    help="skip metric computation (with --save_pred_disps)")
+    pe.add_argument("--disable_median_scaling", action="store_true")
+    pe.add_argument("--pred_depth_scale_factor", type=float, default=1.0)
+    pe.add_argument("--eval_stereo", action="store_true",
+                    help="stereo-trained model: scale 5.4, no median "
+                         "scaling")
     pe.add_argument("--set", nargs="*")
     pe.set_defaults(fn=cmd_eval)
 

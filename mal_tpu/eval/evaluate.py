@@ -74,15 +74,22 @@ def prepare_gt_and_pred(gt_depth: np.ndarray, pred_disp: np.ndarray,
 def evaluate_depth_maps(pred_disps: Sequence[np.ndarray],
                         gt_depths: Sequence[np.ndarray],
                         eval_split: str = "eigen",
-                        median_scaling: bool = True) -> dict:
-    """Mean 7-metric dict over the split + median-scaling ratio stats."""
+                        median_scaling: bool = True,
+                        pred_depth_scale_factor: float = 1.0) -> dict:
+    """Mean 7-metric dict over the split + median-scaling ratio stats.
+
+    `median_scaling=False` = `--disable_median_scaling`;
+    `pred_depth_scale_factor` = `--pred_depth_scale_factor` (5.4 for
+    stereo-trained models, `manydepth/evaluate_depth.py:245-247`).
+    """
     # DDAD evaluates to 200 m (`manydepth/trainer.py:669-670`)
     max_depth = 200.0 if eval_split == "ddad" else EVAL_MAX_DEPTH
     errors, ratios = [], []
     for pred_disp, gt in zip(pred_disps, gt_depths):
-        g, p, r = prepare_gt_and_pred(gt, pred_disp, eval_split,
-                                      max_depth=max_depth,
-                                      median_scaling=median_scaling)
+        g, p, r = prepare_gt_and_pred(
+            gt, pred_disp, eval_split, max_depth=max_depth,
+            median_scaling=median_scaling,
+            pred_depth_scale_factor=pred_depth_scale_factor)
         errors.append(compute_depth_errors_np(g, p))
         ratios.append(r)
     mean = {k: float(np.mean([e[k] for e in errors])) for k in errors[0]}
@@ -95,24 +102,53 @@ def evaluate_depth_maps(pred_disps: Sequence[np.ndarray],
 def infer_disparities(model, variables, batches: Iterable[dict], cfg: Config,
                       eval_teacher: bool = False,
                       min_depth_bin=None, max_depth_bin=None,
-                      mesh=None) -> np.ndarray:
+                      mesh=None, zero_cost_volume: bool = False,
+                      static_camera: bool = False,
+                      post_process: bool = False) -> np.ndarray:
     """Run the jit eval forward over host batches; returns (N, H, W) scaled disps.
 
     With `mesh`, batches are sharded over the data axis (DP inference — the
     reference evaluates on the main process only, `manydepth/trainer.py:518`).
+
+    Behavioral probes (SURVEY.md §4): `zero_cost_volume` zeroes the lookup
+    poses (`--zero_cost_volume`, multi-frame degrades to mono);
+    `static_camera` replaces every lookup frame with the current frame
+    (`--static_camera`, `dualrefine/evaluate_depth.py:164-166`).
+    `post_process` runs a second forward on mirrored inputs and blends
+    (Monodepth-v1 flip averaging; teacher/mono only — the cost volume's
+    epipolar geometry is not mirror-consistent).
     """
     if min_depth_bin is None:
         min_depth_bin = jnp.asarray(0.1)
     if max_depth_bin is None:
         max_depth_bin = jnp.asarray(10.0)
+    if post_process and not eval_teacher:
+        raise ValueError("post_process requires eval_teacher (flip "
+                         "averaging is only defined for the mono network)")
 
     def forward(batch):
+        if static_camera:
+            color0 = batch["color"]["0"]
+            batch = dict(batch, color={k: color0 for k in batch["color"]})
         out = model.apply(variables, batch, min_depth_bin, max_depth_bin,
-                          method=type(model).eval_forward, mutable=False)
+                          method=type(model).eval_forward, mutable=False,
+                          zero_cost_volume=zero_cost_volume)
         key = "mono_disp" if eval_teacher else "disp"
         scaled_disp, _ = geometry.disp_to_depth(out[key], EVAL_MIN_DEPTH,
                                                 EVAL_MAX_DEPTH)
-        return scaled_disp[..., 0]
+        disp = scaled_disp[..., 0]
+        if post_process:
+            flipped = dict(batch, color={k: v[:, :, ::-1]
+                                         for k, v in batch["color"].items()})
+            out_f = model.apply(variables, flipped, min_depth_bin,
+                                max_depth_bin,
+                                method=type(model).eval_forward,
+                                mutable=False,
+                                zero_cost_volume=zero_cost_volume)
+            scaled_f, _ = geometry.disp_to_depth(out_f[key], EVAL_MIN_DEPTH,
+                                                 EVAL_MAX_DEPTH)
+            return disp, scaled_f[..., 0][:, :, ::-1]
+        return disp
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,5 +162,11 @@ def infer_disparities(model, variables, batches: Iterable[dict], cfg: Config,
         fwd = jax.jit(forward)
         run = fwd
 
-    disps = [np.asarray(run(b)) for b in batches]
+    if post_process:
+        from mal_tpu.eval.postprocess import post_process_disparity
+        pairs = [run(b) for b in batches]
+        disps = [post_process_disparity(np.asarray(d), np.asarray(df))
+                 for d, df in pairs]
+    else:
+        disps = [np.asarray(run(b)) for b in batches]
     return np.concatenate(disps, axis=0)

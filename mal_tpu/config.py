@@ -66,6 +66,13 @@ class Config:
     dual_distil: bool = False     # distil toward non-detached mono depth
     learn_ens: bool = False       # --learn_ens: broken upstream (see step.py)
     loss_blc: bool = True         # automatic two-term loss re-balancing
+    # --pareto (`manydepth/options.py:440`): MGDA min-norm gradient
+    # re-weighting of (photometric, distil) instead of loss_blc; the
+    # reference's pareto_fn module is missing from its snapshot — mal_tpu
+    # ships a documented reconstruction (`mal_tpu/pareto.py`). Overrides
+    # loss_blc like the reference's if/elif (`loss_utils.py:256-266`).
+    pareto: bool = False
+    pareto_c: tuple[float, float] = (0.1, 0.3)  # c_list (`loss_utils.py:258`)
     temporal: bool = False        # temporal hint (dynamic-object synthesis)
     main_temporal: bool = False
     ins_threshold: float = 0.9    # instance score threshold for the
@@ -201,7 +208,7 @@ class Config:
         d = json.loads(s)
         field_names = {f.name for f in dataclasses.fields(cls)}
         d = {k: v for k, v in d.items() if k in field_names}
-        for k in ("frame_ids",):
+        for k in ("frame_ids", "pareto_c", "deq_indexing"):
             if k in d and isinstance(d[k], list):
                 d[k] = tuple(d[k])
         return cls(**d)

@@ -203,7 +203,23 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         if train_teacher:
             ori_loss = ori_loss + mono_out.loss
 
-        if cfg.distil and cfg.loss_blc:
+        if cfg.distil and cfg.pareto:
+            # --pareto (`loss_utils.py:256-263`): weights come from an MGDA
+            # min-norm solve over the (multi, distil) gradients — computed
+            # by the pareto train step (three VJP pulls from one forward);
+            # here the components are exposed and combined with weights
+            # passed back in via aux. The mono loss joins UNWEIGHTED and
+            # doubled: the reference's merge aliasing ("loss/0"/"loss"
+            # point at the same tensor, `loss_utils.py:277-279` +
+            # `trainer.py:625-627` +=) double-adds it exactly as in the
+            # plain-distil branch below.
+            mono_term = 2.0 * mono_out.loss if train_teacher else 0.0
+            components = jnp.stack(
+                [multi_out.loss, multi_out.distil_loss,
+                 jnp.asarray(mono_term, jnp.float32)])
+            total = multi_out.loss + multi_out.distil_loss + mono_term
+            new_balancer = balancer
+        elif cfg.distil and cfg.loss_blc:
             lam = jnp.maximum(
                 cfg.lambda_for_adjust_start
                 + epoch * cfg.lambda_for_adjust_slope,
@@ -243,6 +259,9 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             "batch_stats": mutated["batch_stats"],
             "balancer": new_balancer,
             "mono_depth": mono_depth_sg,
+            # (multi, distil, 2*mono) for the pareto step's per-loss VJPs
+            "components": (components if cfg.distil and cfg.pareto
+                           else jnp.zeros(3)),
             "metrics": {
                 "loss": total,
                 "ori_loss": ori_loss,
@@ -277,9 +296,45 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
         rng_model, rng_noise = jax.random.split(rng)
         min_d, max_d = state.bins.min_depth, state.bins.max_depth
 
-        grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, min_d, max_d, state.balancer,
-            batch, rng_model, rng_noise, epoch, seg_variables)
+        pareto_metrics = None
+        if cfg.distil and cfg.pareto:
+            # --pareto: one forward, three VJP pulls (multi / distil /
+            # doubled-mono), MGDA min-norm weights over the first two
+            # (`loss_utils.py:256-263`; `mal_tpu/pareto.py`)
+            from mal_tpu.pareto import pareto_weights_2task
+
+            def comp_fn(params):
+                total, aux = loss_fn(params, state.batch_stats, min_d,
+                                     max_d, state.balancer, batch,
+                                     rng_model, rng_noise, epoch,
+                                     seg_variables)
+                return aux["components"], aux
+
+            comps, vjp_fn, aux = jax.vjp(comp_fn, state.params,
+                                         has_aux=True)
+            g_multi = vjp_fn(jnp.array([1.0, 0.0, 0.0]))[0]
+            g_distil = vjp_fn(jnp.array([0.0, 1.0, 0.0]))[0]
+            g_mono = vjp_fn(jnp.array([0.0, 0.0, 1.0]))[0]
+            c0, c1 = cfg.pareto_c
+            w0, w1 = pareto_weights_2task(g_multi, g_distil, c0, c1)
+            grads = jax.tree.map(
+                lambda a, b, c: w0 * a + w1 * b + c,
+                g_multi, g_distil, g_mono)
+            weighted = w0 * comps[0] + w1 * comps[1]
+            pareto_metrics = {
+                "loss": weighted + comps[2],
+                "w_ori": w0,
+                "w_distil": w1,
+                # the reference logs w0 x the already-reweighted loss
+                # (`loss_utils.py:261` reads `loss` AFTER line 260 rebinds
+                # it) — reproduced for log parity
+                "ori_loss": w0 * weighted,
+            }
+        else:
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, min_d, max_d,
+                state.balancer, batch, rng_model, rng_noise, epoch,
+                seg_variables)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -299,6 +354,8 @@ def make_train_step(cfg: Config, model, tx: optax.GradientTransformation,
             balancer=aux["balancer"],
         )
         metrics = dict(aux["metrics"])
+        if pareto_metrics is not None:
+            metrics.update(pareto_metrics)
         metrics["min_depth_bin"] = new_bins.min_depth
         metrics["max_depth_bin"] = new_bins.max_depth
         return new_state, metrics

@@ -83,7 +83,8 @@ def _temporal_seg_fn(cfg):
     cost is weight-independent; real weights via convert_mask2former_pkl)."""
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
-    model = Mask2Former(max_instances=cfg.max_instances)
+    model = Mask2Former(max_instances=cfg.max_instances,
+                        bf16_backbone=cfg.compute_dtype == "bfloat16")
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     return make_seg_fn(model, None, cfg.max_instances), variables
@@ -96,7 +97,8 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     combined step program exceeds the remote-compile upload limit."""
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
-    model = Mask2Former(max_instances=cfg.max_instances)
+    model = Mask2Former(max_instances=cfg.max_instances,
+                        bf16_backbone=cfg.compute_dtype == "bfloat16")
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     seg_fn = jax.jit(make_seg_fn(model, None, cfg.max_instances))

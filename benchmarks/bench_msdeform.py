@@ -60,16 +60,22 @@ def main():
         v, shapes, l, a))
     f_pal = jax.jit(lambda v, l, a: ms_deform_attn_core_pallas(
         v, shapes, l, a))
+    f_bf16 = jax.jit(lambda v, l, a: ms_deform_attn_core_pallas(
+        v, shapes, l, a, mxu_precision="bf16"))
 
     r = f_ref(value, locs, attn)
     p = f_pal(value, locs, attn)
+    pb = f_bf16(value, locs, attn)
     err = float(jnp.abs(r - p).max())
-    print(f"max_abs_err={err:.3e}")
+    err_b = float(jnp.abs(r - pb).max())
+    print(f"max_abs_err={err:.3e}  bf16_max_abs_err={err_b:.3e}")
 
     t_ref = timeit(f_ref, value, locs, attn)
     t_pal = timeit(f_pal, value, locs, attn)
+    t_b = timeit(f_bf16, value, locs, attn)
     print(f"xla_gather_ms={t_ref:.2f}  pallas_ms={t_pal:.2f}  "
-          f"speedup={t_ref / t_pal:.2f}x")
+          f"pallas_bf16_ms={t_b:.2f}  speedup={t_ref / t_pal:.2f}x  "
+          f"bf16_speedup={t_ref / t_b:.2f}x")
 
 
 if __name__ == "__main__":

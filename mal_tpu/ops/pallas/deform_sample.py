@@ -59,7 +59,8 @@ def _corner_weights(c, size):
 
 
 def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
-            shapes: tuple[tuple[int, int], ...], ch: int):
+            shapes: tuple[tuple[int, int], ...], ch: int,
+            mxu_precision: str = "high"):
     vms = (vm0_ref, vm1_ref, vm2_ref)
     acc = jnp.zeros((ch, SAMPLE_TILE), jnp.float32)
     for lvl, (h_l, w_l) in enumerate(shapes):
@@ -78,12 +79,12 @@ def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
 
         # fp32-accurate matmul via 3x bf16 (hi/lo split, fp32 accumulation,
         # dropped lo@lo term is < 2^-22 relative): Mosaic's HIGHEST (6-pass)
-        # measured 4x slower than 1-pass bf16 and ~2x slower than this
+        # measured 4x slower than 1-pass bf16 and ~2x slower than this.
+        # mxu_precision="bf16" (the bf16_backbone fast-training mode) drops
+        # the correction passes: one hi@hi matmul, fp32 accumulation.
         vm = vms[lvl][0]
         vm_hi = vm.astype(jnp.bfloat16)
-        vm_lo = (vm - vm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         a_hi = A.astype(jnp.bfloat16)
-        a_lo = (A - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def mm(a, b):
             # explicit precision: Mosaic rejects the HIGH an ambient
@@ -93,7 +94,12 @@ def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
-        U = mm(vm_hi, a_hi) + (mm(vm_hi, a_lo) + mm(vm_lo, a_hi))
+        if mxu_precision == "bf16":
+            U = mm(vm_hi, a_hi)
+        else:
+            vm_lo = (vm - vm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            a_lo = (A - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            U = mm(vm_hi, a_hi) + (mm(vm_hi, a_lo) + mm(vm_lo, a_hi))
 
         # y corners: per source row r, a (1, S) mask over a native sublane
         # slice of U
@@ -104,11 +110,13 @@ def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
     out_ref[0, 0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("shapes", "ch", "interpret"))
+@functools.partial(jax.jit, static_argnames=("shapes", "ch", "interpret",
+                                              "mxu_precision"))
 def deform_sample_fused(vm0: Array, vm1: Array, vm2: Array, x: Array,
                         y: Array, aw: Array,
                         shapes: tuple[tuple[int, int], ...], ch: int,
-                        interpret: bool = False) -> Array:
+                        interpret: bool = False,
+                        mxu_precision: str = "high") -> Array:
     """vm_l: (G, h_l*ch, w_l) transposed level values per (batch*head) group,
     row-major rows (row r of the level occupies sublanes r*ch..r*ch+ch).
     x/y/aw: (G, T, L, SAMPLE_TILE) normalized-[0,1] sampling coordinates and
@@ -126,7 +134,8 @@ def deform_sample_fused(vm0: Array, vm1: Array, vm2: Array, x: Array,
     coord_spec = pl.BlockSpec((1, 1, L, S), lambda g, t: (g, t, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, shapes=shapes, ch=ch),
+        functools.partial(_kernel, shapes=shapes, ch=ch,
+                          mxu_precision=mxu_precision),
         grid=(G, T),
         interpret=interpret,
         in_specs=[vspec(shapes[0]), vspec(shapes[1]), vspec(shapes[2]),

@@ -51,7 +51,8 @@ class Mask2Former(nn.Module):
     max_instances: int = 8
     score_threshold: float = 0.0
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
-    bf16_backbone: bool = False  # bf16 Swin matmuls (see SwinTransformer)
+    bf16_backbone: bool = False  # bf16 Swin + pixel-decoder matmuls
+                                 # (SwinTransformer / MSDeformAttnPixelDecoder)
     drop_path_rate: float = 0.3  # train-mode stochastic depth
                                  # (`mask2former/config.py:86`)
 
@@ -69,6 +70,7 @@ class Mask2Former(nn.Module):
                                 drop_path_rate=self.drop_path_rate,
                                 name="backbone")(x, train=train)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(
+            bf16_compute=self.bf16_backbone,
             name="pixel_decoder")(feats)
         logits, masks = MaskedTransformerDecoder(
             num_classes=self.num_classes, num_queries=self.num_queries,

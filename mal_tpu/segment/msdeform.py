@@ -56,7 +56,8 @@ def ms_deform_attn_core_pallas(value: Array,
                                spatial_shapes: list[tuple[int, int]],
                                sampling_locations: Array,
                                attention_weights: Array,
-                               interpret: bool = False) -> Array:
+                               interpret: bool = False,
+                               mxu_precision: str = "high") -> Array:
     """Gather-free formulation: TPU gathers are index-rate-bound at ~80M
     idx/s (~37 ms per encoder layer at 192x640), but the per-(batch, head)
     level maps are VMEM-sized, so sampling runs as separable one-hot MXU
@@ -95,7 +96,8 @@ def ms_deform_attn_core_pallas(value: Array,
         vms[0], vms[1], vms[2],
         lay(sampling_locations[..., 0]), lay(sampling_locations[..., 1]),
         lay(attention_weights),
-        shapes=tuple(spatial_shapes), ch=C, interpret=interpret)
+        shapes=tuple(spatial_shapes), ch=C, interpret=interpret,
+        mxu_precision=mxu_precision)
 
     sampled = sampled.transpose(0, 2, 1, 3).reshape(G, C, T * SAMPLE_TILE)
     out = sampled[:, :, :NS].reshape(B, H_, C, Lq, P).sum(axis=4)
@@ -103,16 +105,19 @@ def ms_deform_attn_core_pallas(value: Array,
 
 
 def ms_deform_attn_core(value: Array, spatial_shapes: list[tuple[int, int]],
-                        sampling_locations: Array, attention_weights: Array
-                        ) -> Array:
+                        sampling_locations: Array, attention_weights: Array,
+                        mxu_precision: str = "high") -> Array:
     """value: (B, sum(HW), heads, ch); sampling_locations:
     (B, Lq, heads, L, P, 2) in [0,1]; attention_weights: (B, Lq, heads, L, P).
     Returns (B, Lq, heads*ch). Dispatches to the gather-free Pallas sampler
-    on TPU backends; the per-level XLA path is the CPU/test reference."""
+    on TPU backends; the per-level XLA path is the CPU/test reference.
+    mxu_precision="bf16" = the fast-training mode's single-pass bf16
+    sampling matmuls (see deform_sample.py)."""
     if jax.default_backend() == "tpu":
         return ms_deform_attn_core_pallas(value, spatial_shapes,
                                           sampling_locations,
-                                          attention_weights)
+                                          attention_weights,
+                                          mxu_precision=mxu_precision)
     return ms_deform_attn_core_per_level(value, spatial_shapes,
                                          sampling_locations,
                                          attention_weights)
@@ -124,6 +129,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    mxu_precision: str = "high"  # "bf16" = fast-training sampling matmuls
 
     @nn.compact
     def __call__(self, query: Array, reference_points: Array, value_flat: Array,
@@ -150,5 +156,6 @@ class MSDeformAttn(nn.Module):
         locs = (reference_points[:, :, None, :, None, :]
                 + offsets / sizes[None, None, None, :, None, :])
 
-        out = ms_deform_attn_core(value, spatial_shapes, locs, attn)
+        out = ms_deform_attn_core(value, spatial_shapes, locs, attn,
+                                  mxu_precision=self.mxu_precision)
         return nn.Dense(C, name="output_proj")(out)

@@ -28,19 +28,24 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int = 4
     n_levels: int = 3
     ffn_dim: int = 1024
+    bf16_compute: bool = False  # fast mode: bf16 FFN + sampling matmuls
 
     @nn.compact
     def __call__(self, src: Array, pos: Array, reference_points: Array,
                  spatial_shapes) -> Array:
+        dt = jnp.bfloat16 if self.bf16_compute else None
         q = src + pos
         attn = MSDeformAttn(self.d_model, self.n_levels, self.n_heads,
-                            self.n_points, name="self_attn")(
+                            self.n_points,
+                            mxu_precision="bf16" if self.bf16_compute
+                            else "high",
+                            name="self_attn")(
             q, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(name="norm1")(src + attn)
-        y = nn.Dense(self.ffn_dim, name="linear1")(src)
+        y = nn.Dense(self.ffn_dim, dtype=dt, name="linear1")(src)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, name="linear2")(y)
-        return nn.LayerNorm(name="norm2")(src + y)
+        y = nn.Dense(self.d_model, dtype=dt, name="linear2")(y)
+        return nn.LayerNorm(name="norm2")(src + y.astype(jnp.float32))
 
 
 def position_embedding_sine(h: int, w: int, dim: int = 256,
@@ -69,6 +74,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     d_model: int = 256
     num_layers: int = 6
     mask_dim: int = 256
+    bf16_compute: bool = False
 
     @nn.compact
     def __call__(self, features: dict[str, Array]):
@@ -108,7 +114,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         y = src_flat
         for l in range(self.num_layers):
-            y = DeformableEncoderLayer(self.d_model, name=f"layer_{l}")(
+            y = DeformableEncoderLayer(self.d_model,
+                                       bf16_compute=self.bf16_compute,
+                                       name=f"layer_{l}")(
                 y, pos_flat, refs, shapes)
 
         # split back to levels

@@ -204,3 +204,10 @@ def test_msdeform_pallas_sampler_matches_per_level():
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # bf16 fast-training variant: single-pass bf16 matmuls, fp32 accum —
+    # loose tolerance (the values here are O(1) randn)
+    got_b = ms_deform_attn_core_pallas(value, shapes, locs, attn,
+                                       interpret=True,
+                                       mxu_precision="bf16")
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref),
+                               rtol=0, atol=5e-2)

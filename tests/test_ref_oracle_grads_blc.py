@@ -90,24 +90,28 @@ def ref_side(tmp_path_factory):
             opt.lambda_for_adjust_start, opt.lambda_for_adjust_min)
         trainer.model.train()
 
-        _it = iter(trainer.train_loader)
-        inputs = next(_it)
-        inputs2 = next(_it)
-        sd0 = {k: v.detach().clone()
-               for k, v in trainer.model.state_dict().items()}
-
-        # bins used by the forward: the tracker EMA-updates DURING
-        # process_batch (`trainer.py:634`), so capture before, not after
-        min_bin = float(trainer.depth_bin_tracker.min_depth)
-        max_bin = float(trainer.depth_bin_tracker.max_depth)
-
         import random as pyrandom
 
         randn_orig = torch.randn
         rand_orig = pyrandom.random
         torch.randn = lambda *a, **k: torch.zeros(*a, **k)  # tie-break noise
-        pyrandom.random = lambda: 0.9  # no matching augmentation
+        # pinned BEFORE the loader fetch: the dataset's do_color_aug/do_flip
+        # draws come from the unseeded global `random`, so the oracle batch
+        # would otherwise depend on suite order (flake fixed 2026-08-18);
+        # also pins no-matching-augmentation inside process_batch
+        pyrandom.random = lambda: 0.9
         try:
+            _it = iter(trainer.train_loader)
+            inputs = next(_it)
+            inputs2 = next(_it)
+            sd0 = {k: v.detach().clone()
+                   for k, v in trainer.model.state_dict().items()}
+
+            # bins used by the forward: the tracker EMA-updates DURING
+            # process_batch (`trainer.py:634`), so capture before, not after
+            min_bin = float(trainer.depth_bin_tracker.min_depth)
+            max_bin = float(trainer.depth_bin_tracker.max_depth)
+
             outputs, ref_losses = trainer.process_batch(
                 dict(inputs), 0, is_train=True)
             trainer.model_optimizer.zero_grad()
@@ -276,7 +280,9 @@ def test_blc_grads_match_reference(ref_side, jax_side):
         cos = float(
             (g.ravel() @ r.ravel())
             / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-30))
-        if err / global_scale > 5e-4 and (rel > 5e-3 or cos < 0.9999):
+        # global gate 2e-3: see test_ref_oracle_grads.py — 5e-4 straddled
+        # the per-process fp32 noise band of the pose-branch gradients
+        if err / global_scale > 2e-3 and (rel > 5e-3 or cos < 0.9999):
             failures.append(
                 f"{name}: rel={rel:.2e} cos={cos:.6f} "
                 f"gerr={err / global_scale:.2e}")

@@ -56,6 +56,12 @@ def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
     model = MALModel(cfg)
     rng = jax.random.PRNGKey(0)
     batch = synthetic_batch(cfg, rng)
+    if cfg.seg_cache_root is not None and (cfg.temporal or cfg.main_temporal):
+        # cached-instance fast path (`segment/cache.py`): the current-frame
+        # instances arrive as batch arrays instead of a segmenter forward
+        inst = seg_fn(seg_variables, batch["color"]["0"])
+        batch = dict(batch, seg_masks=inst.masks, seg_classes=inst.classes,
+                     seg_scores=inst.scores, seg_valid=inst.valid)
     state = create_train_state(cfg, model, rng, batch)
     tx = make_optimizer(cfg)
     step = jax.jit(make_train_step(cfg, model, tx, seg_fn=seg_fn),
@@ -91,10 +97,12 @@ def _temporal_seg_fn(cfg):
 
 
 def _derived_temporal_fps(cfg, fps_base: float) -> float:
-    """Temporal-hint throughput derived as base step + 6x Mask2Former
-    forward (2 temporal_syn calls x 3 frames each,
-    `manydepth/trainer.py:1161-1165`), measured separately. Used when the
-    combined step program exceeds the remote-compile upload limit."""
+    """Temporal-hint throughput derived as base step + 3x Mask2Former
+    forward (the reference's headline `--temporal` config: one
+    image_synthesis call segmenting the current + two warped frames,
+    `manydepth/trainer.py:1161-1162`, `dyn_utils.py:125,148`), measured
+    separately. Used when the combined step program exceeds the
+    remote-compile upload limit."""
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
     model = Mask2Former(max_instances=cfg.max_instances,
@@ -113,7 +121,7 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     t_seg = (time.perf_counter() - t0) / 5
 
     t_step = cfg.batch_size / fps_base
-    return cfg.batch_size / (t_step + 6.0 * t_seg)
+    return cfg.batch_size / (t_step + 3.0 * t_seg)
 
 
 def main():
@@ -128,7 +136,12 @@ def main():
     temporal_fps = None
     temporal_derived = False
     try:
-        tcfg = fast.replace(temporal=True, main_temporal=True)
+        # the reference's headline MAL training command enables --temporal
+        # only (`/root/reference/README.md:22,25`: `--loss_blc --distil
+        # --temporal`); --main_temporal is an ablation flag it never
+        # headlines, so the temporal bench matches the published command
+        # (3 segmenter forwards/step: current + the two warped frames)
+        tcfg = fast.replace(temporal=True, main_temporal=False)
         seg_fn, seg_vars = _temporal_seg_fn(tcfg)
         temporal_fps = _measure(tcfg, seg_fn=seg_fn, seg_variables=seg_vars,
                                 n_iters=5)
@@ -140,6 +153,20 @@ def main():
             temporal_derived = True
         except Exception as e2:
             print(f"# temporal bench skipped: {type(e2).__name__}: {e2}")
+
+    temporal_cached_fps = None
+    if temporal_fps is not None and not temporal_derived:
+        try:
+            # precomputed-instance fast path (`cli export-seg` +
+            # `seg_cache_root`): the current-frame forward comes from disk,
+            # leaving two segmenter forwards (the warped frames) per step
+            ccfg = fast.replace(temporal=True, main_temporal=False,
+                                seg_cache_root="bench-stub")
+            temporal_cached_fps = _measure(ccfg, seg_fn=seg_fn,
+                                           seg_variables=seg_vars, n_iters=5)
+        except Exception as e:
+            print(f"# cached temporal bench skipped: "
+                  f"{type(e).__name__}: {e}")
 
     # derived reference-A100 estimate (BASELINE.md): bandwidth-bound step,
     # measured same-silicon framework parity
@@ -156,6 +183,8 @@ def main():
     if temporal_fps is not None:
         key = "temporal_fps_derived" if temporal_derived else "temporal_fps"
         out[key] = round(temporal_fps, 2)
+    if temporal_cached_fps is not None:
+        out["temporal_cached_fps"] = round(temporal_cached_fps, 2)
     print(json.dumps(out))
 
 

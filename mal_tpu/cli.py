@@ -44,7 +44,8 @@ def _build_loaders(cfg: Config, shard=None):
     train_files = readlines(os.path.join(split_dir, "train_files.txt"))
     ds = ds_cls(cfg.data_path, train_files, cfg.height, cfg.width,
                 cfg.frames_to_load, is_train=True,
-                img_ext=".png" if cfg.png else ".jpg")
+                img_ext=".png" if cfg.png else ".jpg",
+                seg_cache_root=cfg.seg_cache_root)
     shard = shard if shard is not None else (0, 1)
 
     # production path: threaded native decode + background prefetch
@@ -305,6 +306,41 @@ def cmd_finetune_seg(args):
         print(f"saved: {path}")
 
 
+def cmd_export_seg(args):
+    """Precompute the temporal hint's current-frame instances for a split
+    (`segment/cache.py`): one frozen-segmenter forward per frame per
+    orientation, written once, reused every epoch via
+    `--set seg_cache_root=...` on train."""
+    from mal_tpu.segment.cache import export_split_instances
+    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+    from mal_tpu.utils.misc import readlines
+
+    cfg = PRESETS[args.preset].replace(data_path=args.data_path)
+    cfg = _apply_overrides(cfg, args.set or [])
+
+    from mal_tpu.data.cityscapes import CityscapesPreprocessedDataset
+    from mal_tpu.data.kitti import KITTIRAWDataset
+
+    datasets = {"kitti": KITTIRAWDataset,
+                "cityscapes_preprocessed": CityscapesPreprocessedDataset}
+    files = readlines(os.path.join("splits", cfg.split, "train_files.txt"))
+    ds = datasets[cfg.dataset](cfg.data_path, files, cfg.height, cfg.width,
+                               cfg.frames_to_load, is_train=True,
+                               img_ext=".png" if cfg.png else ".jpg")
+
+    from mal_tpu.convert.mask2former import convert_mask2former_pkl
+    seg_variables = convert_mask2former_pkl(args.seg_pkl, size=args.size)
+    model = Mask2Former(max_instances=cfg.max_instances,
+                        swin_size=args.size,
+                        bf16_backbone=cfg.compute_dtype == "bfloat16")
+    import jax
+    seg_fn = jax.jit(make_seg_fn(model, None, cfg.max_instances))
+
+    n = export_split_instances(ds, seg_fn, seg_variables, args.out,
+                               batch_size=cfg.batch_size)
+    print(f"export-seg: wrote {n} frame-instance files to {args.out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("mal_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -378,6 +414,21 @@ def main(argv=None):
     pf.add_argument("--num_points", type=int, default=112 * 112)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(fn=cmd_finetune_seg)
+
+    px = sub.add_parser("export-seg")
+    px.add_argument("--preset", default="kitti", choices=list(PRESETS))
+    px.add_argument("--data_path", required=True)
+    px.add_argument("--seg_pkl", required=True,
+                    help="detectron2 .pkl Mask2Former weights (the same "
+                         "checkpoint the temporal hint trains with)")
+    px.add_argument("--out", required=True,
+                    help="cache directory (pass as --set seg_cache_root=... "
+                         "on train)")
+    px.add_argument("--size", default="large",
+                    choices=("tiny", "small", "base", "large"),
+                    help="Swin size of the .pkl checkpoint")
+    px.add_argument("--set", nargs="*", help="config overrides key=value")
+    px.set_defaults(fn=cmd_export_seg)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -49,6 +49,15 @@ class Config:
     warmup_steps: int = 500
     decay_steps: int = 48000
     init_lr: float = 1e-10
+    # scheduler selection (`manydepth/trainer.py:194-232`): "warmup_step"
+    # (the default WarmupStepLRScheduler), "cos" (--cos,
+    # CosineAnnealingWarmupRestarts — broken upstream, see lr_schedule.py),
+    # "step" (--step_lr, torch StepLR stepped per epoch)
+    lr_scheduler: str = "warmup_step"
+    scheduler_step_size: int = 15  # --scheduler_step_size (epochs, "step")
+    # steps per epoch for the per-epoch "step" scheduler; the trainer sets
+    # it from len(train_loader) at build time (0 = unset)
+    steps_per_epoch: int = 0
     # matching augmentation probabilities (static-camera / zero-cost-volume)
     # (`manydepth/networks/repdepth.py:279-293`)
     aug_static_camera_p: float = 0.25
@@ -75,10 +84,20 @@ class Config:
     pareto_c: tuple[float, float] = (0.1, 0.3)  # c_list (`loss_utils.py:258`)
     temporal: bool = False        # temporal hint (dynamic-object synthesis)
     main_temporal: bool = False
+    # precomputed current-frame instance cache for the temporal hint
+    # (`segment/cache.py` + `cli export-seg`): replaces one of the three
+    # segmenter forwards per --temporal step with a bit-exact disk load;
+    # None = reference behavior (segment the current frame online)
+    seg_cache_root: str | None = None
     ins_threshold: float = 0.9    # instance score threshold for the
                                   # temporal hint (`manydepth/options.py:
                                   # 299-302` default)
     max_instances: int = 8        # static-shape cap on instances per image
+    # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss
+    no_ssim: bool = False
+    # --loss_pct (`manydepth/trainer.py:1337-1344`): log the fraction of
+    # pixels that survive the reprojection-loss mask
+    loss_pct: bool = False
     # loss-balancing lambda schedule (`manydepth/options.py:443-445`)
     lambda_for_adjust_start: float = 3.0
     lambda_for_adjust_slope: float = -1.5
@@ -124,6 +143,16 @@ class Config:
     cv_pool_radius: int = 1
     cv_pool_th: float = 0.7
     no_warp: bool = False         # disable the DOMD warp entirely
+    # --no_reproj_doj (`dynamicdepth/trainer.py:507-510,530-533,830-833`):
+    # blank the forward-warped object pixels instead of pasting them (the
+    # DOMD'd frames keep holes at BOTH the old and new object positions);
+    # the cost-volume lookup paste is not gated (`:518-521`)
+    no_reproj_doj: bool = False
+    # mono-loss merge variants (`dynamicdepth/trainer.py:630-650`):
+    # --tempv2 drops the teacher losses from the total; --no_multi_loss
+    # REPLACES the student losses with the teacher's (`losses[key] = val`)
+    tempv2: bool = False
+    no_multi_loss: bool = False
     # reference default TRUE (`--no_teacher_warp` is store_false,
     # `dynamicdepth/options.py:337-339`): the mono identity preds come from
     # `ori_color` — frame -1 pristine, frame "+1" the MUTATED frame -1 (an
@@ -157,7 +186,26 @@ class Config:
     deq_eval_factor: float = 1.0  # --eval_factor
     corr_radius: int = 8
     corr_levels: int = 3          # --num_levels
+    # --num_cost_volume_head (`dualrefine/options.py:142-145`,
+    # `depth_pose.py:435`, `update.py:90`): channel groups in the epipolar
+    # cost; the motion encoder's input widens accordingly
+    num_cost_volume_head: int = 1
     num_pose_iter: int = 1
+    # GN pose-update ablations (`dualrefine/options.py`):
+    # --disable_pose_updates skips the Gauss-Newton loop entirely
+    # (`depth_pose.py:449-456`); --disable_evolving_pose_weight drops the
+    # per-iteration weight head (weight=None, `depth_pose.py:444-447`);
+    # --disable_fixed_pose_weight replaces the learned uncertainty weights
+    # with ones (`utils/utils.py:291-298`); --disable_wnorm drops weight
+    # normalization from the update block (`depth_pose.py:65-66`)
+    disable_pose_updates: bool = False
+    disable_evolving_pose_weight: bool = False
+    disable_fixed_pose_weight: bool = False
+    disable_wnorm: bool = False
+    # --Pose_for_consistency_mask (`dualrefine/options.py:92-94`,
+    # `depth_pose.py:553-556`): which pose sweeps the consistency-mask
+    # epipolar bins — "Tstar" (refined, default) or "T0" (initial)
+    pose_for_consistency_mask: str = "Tstar"
     gap_factor_depth_ratio: int = 8
     phantom_grad_steps: int = 1   # --phantom_grad
     deq_tau: float = 1.0

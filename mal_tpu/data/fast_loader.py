@@ -171,8 +171,22 @@ class NativePrefetchLoader:
                  for fi, f in enumerate(self.frame_idxs)}
         color_aug = {str(f): np.ascontiguousarray(aug[:, fi])
                      for fi, f in enumerate(self.frame_idxs)}
-        return {"color": color, "color_aug": color_aug, "K": K,
-                "inv_K": np.linalg.pinv(K).astype(np.float32)}
+        out = {"color": color, "color_aug": color_aug, "K": K,
+               "inv_K": np.linalg.pinv(K).astype(np.float32)}
+
+        if getattr(ds, "seg_cache_root", None) is not None:
+            # precomputed temporal-hint instances, orientation-matched to
+            # this batch's flip draws (`segment/cache.py`)
+            from mal_tpu.segment.cache import (cache_path,
+                                               load_frame_instances)
+            per = []
+            for bi, (folder, frame_index, side) in enumerate(meta):
+                path = cache_path(ds.seg_cache_root, folder, frame_index,
+                                  side, bool(flips[bi]))
+                per.append(load_frame_instances(path))
+            for k in per[0]:
+                out[k] = np.stack([p[k] for p in per])
+        return out
 
     # ------------------------------------------------------------------
     def epoch(self, epoch_idx: int = 0):

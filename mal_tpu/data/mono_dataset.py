@@ -71,7 +71,8 @@ class MonoDataset:
 
     def __init__(self, data_path: str, filenames: Sequence[str], height: int,
                  width: int, frame_idxs: Sequence[int], is_train: bool = False,
-                 img_ext: str = ".jpg", seed: int = 0):
+                 img_ext: str = ".jpg", seed: int = 0,
+                 seg_cache_root: str | None = None):
         self.data_path = data_path
         self.filenames = list(filenames)
         self.height = height
@@ -80,6 +81,10 @@ class MonoDataset:
         self.is_train = is_train
         self.img_ext = img_ext
         self._rng = random.Random(seed)
+        # precomputed current-frame segmenter instances for the temporal
+        # hint (`segment/cache.py`): orientation-matched, bit-exact vs the
+        # online segmenter forward they replace
+        self.seg_cache_root = seg_cache_root
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -129,12 +134,24 @@ class MonoDataset:
         K = K.copy()
         K[0, :] *= self.width
         K[1, :] *= self.height
-        return {
+        item = {
             "color": color,
             "color_aug": color_aug,
             "K": K,
             "inv_K": np.linalg.pinv(K).astype(np.float32),
         }
+        if self.seg_cache_root is not None:
+            from mal_tpu.segment.cache import cache_path, load_frame_instances
+
+            path = cache_path(self.seg_cache_root, folder, frame_index, side,
+                              do_flip)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"segmenter-instance cache miss: {path} — run "
+                    f"`python -m mal_tpu.cli export-seg` for this split "
+                    f"first (both orientations are exported)")
+            item.update(load_frame_instances(path))
+        return item
 
 
 def collate(items: Sequence[dict]) -> dict:

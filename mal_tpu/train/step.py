@@ -101,6 +101,9 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
 
     train_teacher = not cfg.freeze_teacher_and_pose
     train_pose = train_teacher and not cfg.freeze_pose
+    # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss
+    reproj_fn = (losses.l1_reprojection_loss if cfg.no_ssim
+                 else losses.reprojection_loss)
     if (cfg.temporal or cfg.main_temporal) and seg_fn is None:
         raise ValueError("cfg.temporal requires a segmentation seg_fn")
     if cfg.learn_ens:
@@ -165,15 +168,24 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         mono_warped, multi_warped = warps[0], warps[1]
 
         # --- teacher ---
-        inst_cur = (seg_fn(seg_variables, batch["color"]["0"])
-                    if (cfg.temporal or cfg.main_temporal) else None)
+        # current-frame instances: from the precomputed cache when
+        # cfg.seg_cache_root is set (bit-exact, orientation-matched —
+        # `segment/cache.py`), else one online segmenter forward
+        inst_cur = None
+        if cfg.temporal or cfg.main_temporal:
+            if cfg.seg_cache_root is not None:
+                from mal_tpu.segment.cache import instances_from_batch
+                inst_cur = instances_from_batch(batch)
+            else:
+                inst_cur = seg_fn(seg_variables, batch["color"]["0"])
         mono_syn = (temporal_syn(batch, mono_warped, seg_variables,
                                  inst_cur)
                     if cfg.temporal else ())
         mono_out = losses.mono_losses(
             rng_noise, outputs["mono_disp"], color0, mono_warped,
             identity, syn=mono_syn,
-            smoothness_weight=cfg.disparity_smoothness)
+            smoothness_weight=cfg.disparity_smoothness,
+            reproj_fn=reproj_fn)
 
         # --- student ---
         mono_depth_sg = jax.lax.stop_gradient(mono_depth)
@@ -183,7 +195,8 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         ens_reproj = None
         if use_ens:
             ens_reproj = jax.lax.stop_gradient(
-                losses.min_reprojection(warps[2], color0))
+                losses.min_reprojection(warps[2], color0,
+                                        reproj_fn=reproj_fn))
 
         multi_syn = (temporal_syn(batch, multi_warped, seg_variables,
                                   inst_cur)
@@ -196,6 +209,7 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             ensemble_min_reproj=ens_reproj,
             dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
             smoothness_weight=cfg.disparity_smoothness,
+            reproj_fn=reproj_fn,
         )
 
         # --- total loss (`trainer.py:624-642`) ---
@@ -273,6 +287,11 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
                 "w_distil": new_balancer.w[1],
             },
         }
+        if cfg.loss_pct:
+            # --loss_pct (`manydepth/trainer.py:1337-1344`): reference wandb
+            # keys Train/pp_t_<scale> (teacher) / pp_m_<scale> (student)
+            aux["metrics"]["pp_t_0"] = mono_out.mask_pct
+            aux["metrics"]["pp_m_0"] = multi_out.mask_pct
         return total, aux
 
     return loss_fn

@@ -33,6 +33,12 @@ def reprojection_loss(pred: Array, target: Array) -> Array:
     return 0.85 * s + 0.15 * l1
 
 
+def l1_reprojection_loss(pred: Array, target: Array) -> Array:
+    """`--no_ssim` photometric loss (`manydepth/trainer.py:1217-1218`):
+    pure channel-mean L1, no SSIM term."""
+    return jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+
+
 def reprojection_loss_zero_img(pred: Array, target: Array) -> Array:
     """`--zero_img` variant (`dynamicdepth/trainer.py:955-963`), single-pair
     form: where the warped prediction is black (sum over channels < 0.1 —
@@ -147,9 +153,10 @@ def automask(reproj: Array, identity: Array) -> Array:
     return (reproj <= identity).astype(reproj.dtype)
 
 
-def min_reprojection(preds: Sequence[Array], target: Array) -> Array:
+def min_reprojection(preds: Sequence[Array], target: Array,
+                     reproj_fn=reprojection_loss) -> Array:
     """Per-pixel min over a list of reprojection losses -> (B, H, W, 1)."""
-    losses = jnp.concatenate([reprojection_loss(p, target) for p in preds], axis=-1)
+    losses = jnp.concatenate([reproj_fn(p, target) for p in preds], axis=-1)
     return jnp.min(losses, axis=-1, keepdims=True)
 
 
@@ -170,19 +177,26 @@ def mono_losses(
     smoothness_weight: float = 1e-3,
     reproj_fn=reprojection_loss,
     selec_reproj: bool = False,
+    avg_reprojection: bool = False,
     reproj_maps: Sequence[Array] | None = None,
     identity_maps: Sequence[Array] | None = None,
     smooth_color: Array | None = None,
 ) -> MonoLossOut:
     """Teacher losses. Reference: `manydepth/loss_utils.py:57-129`.
 
+    `avg_reprojection`: per-pixel MEAN over source frames instead of the
+    min — the monodepth2 flag the reference parses but ships commented out
+    (`loss_utils.py:171`, `trainer.py:1299`); implemented here with the
+    monodepth2 semantics (mean over both warped and identity maps).
     `reproj_maps` / `identity_maps` / `smooth_color` inject precomputed
     per-frame loss maps and the smoothness color — used by the zero_img
     stateful-target path (`zero_img_reproj_sequence`)."""
     if reproj_maps is None:
         reproj_maps = [reproj_fn(p, color) for p in list(warped) + list(syn)]
     reproj_all = jnp.concatenate(list(reproj_maps), axis=-1)
-    if selec_reproj and not syn:
+    if avg_reprojection:
+        reproj_min = jnp.mean(reproj_all, axis=-1, keepdims=True)
+    elif selec_reproj and not syn:
         reproj_min = apply_selec_reproj(reproj_all, list(warped))
     else:
         reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
@@ -190,7 +204,10 @@ def mono_losses(
     if identity_maps is None:
         identity_maps = [reproj_fn(p, color) for p in identity]
     ident = jnp.concatenate(list(identity_maps), -1)
-    ident_min = jnp.min(ident, axis=-1, keepdims=True)
+    if avg_reprojection:
+        ident_min = jnp.mean(ident, axis=-1, keepdims=True)
+    else:
+        ident_min = jnp.min(ident, axis=-1, keepdims=True)
     noise = jax.random.normal(rng, ident_min.shape, ident_min.dtype) * 1e-5
     mask = automask(reproj_min, ident_min + noise)
 
@@ -226,6 +243,7 @@ def multi_losses(
     smoothness_weight: float = 1e-3,
     reproj_fn=reprojection_loss,
     selec_reproj: bool = False,
+    avg_reprojection: bool = False,
     reproj_maps: Sequence[Array] | None = None,
     smooth_color: Array | None = None,
 ) -> MultiLossOut:
@@ -234,13 +252,17 @@ def multi_losses(
     Reference: `manydepth/loss_utils.py:131-281`. The reprojection mask is the
     cost-volume consistency mask times (1 - augmentation mask); its complement
     gates the teacher-consistency loss; the distillation target is the
-    per-pixel argmin over {mono, ensemble, multi} reprojection errors.
+    per-pixel argmin over {mono, ensemble, multi} reprojection errors (which
+    stays an argmin under `avg_reprojection` — only the per-frame source
+    reduction averages, per the monodepth2 semantics).
     `reproj_maps` / `smooth_color` as in `mono_losses` (zero_img path).
     """
     if reproj_maps is None:
         reproj_maps = [reproj_fn(p, color) for p in list(warped) + list(syn)]
     reproj_all = jnp.concatenate(list(reproj_maps), axis=-1)
-    if selec_reproj and not syn:
+    if avg_reprojection:
+        multi_min_reproj = jnp.mean(reproj_all, axis=-1, keepdims=True)
+    elif selec_reproj and not syn:
         multi_min_reproj = apply_selec_reproj(reproj_all, list(warped))
     else:
         multi_min_reproj = jnp.min(reproj_all, axis=-1, keepdims=True)

@@ -95,6 +95,11 @@ class Config:
     max_instances: int = 8        # static-shape cap on instances per image
     # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss
     no_ssim: bool = False
+    # --avg_reprojection: per-pixel mean over source frames instead of the
+    # min. The reference parses it but its consumer is commented out
+    # (`loss_utils.py:171`, `trainer.py:1299`); implemented here with the
+    # monodepth2 semantics it inherits
+    avg_reprojection: bool = False
     # --loss_pct (`manydepth/trainer.py:1337-1344`): log the fraction of
     # pixels that survive the reprojection-loss mask
     loss_pct: bool = False
@@ -222,6 +227,17 @@ class Config:
     # --- logging / checkpointing ---
     log_every: int = 50
     validate_every: int = 1000
+    # --validate_from (`manydepth/trainer.py:514`): periodic validation only
+    # after this many steps (the step-250 early validate is unaffected)
+    validate_from: int = 0
+    # --save_until (`manydepth/trainer.py:536`): checkpoints are written only
+    # from this step on (despite the name — the reference gates with >=)
+    save_until: int = 0
+    # --save_frequency (`dualrefine/trainer.py:219`): epochs between
+    # end-of-epoch checkpoint saves. Parsed by every reference stack but only
+    # the DualRefine trainer consumes it; ManyDepth/DynamicDepth save at
+    # validation steps — matched here (applies to method="dualrefine").
+    save_frequency: int = 1
     ckpt_dir: str = "./ckpt"
 
     @property

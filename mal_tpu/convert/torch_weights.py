@@ -161,6 +161,26 @@ def convert_pose_dyj(sd: Mapping[str, np.ndarray],
     return params, {"encoder": ts}
 
 
+def convert_imagenet_trunk(sd: Mapping[str, np.ndarray],
+                           num_layers: int = 18,
+                           num_input_images: int = 1) -> tuple[dict, dict]:
+    """torchvision ImageNet resnet state dict -> (params, batch_stats).
+
+    The `--weights_init pretrained` path: the reference initializes every
+    ResNet encoder from torchvision ImageNet weights
+    (`manydepth/networks/resnet_encoder.py:377,356-398`); multi-image pose
+    encoders tile conv1 across the stacked-image axis and divide by the image
+    count (`resnet_multiimage_input`, `resnet_encoder.py:63-67`). The `fc.*`
+    head keys are ignored (the reference freezes them and never runs them).
+    """
+    sd = dict(sd)
+    if num_input_images > 1:
+        w = np.asarray(sd["conv1.weight"])
+        sd["conv1.weight"] = (np.concatenate([w] * num_input_images, axis=1)
+                              / float(num_input_images))
+    return convert_resnet_trunk(sd, num_layers)
+
+
 def convert_pose_cnn(sd: Mapping[str, np.ndarray]) -> dict:
     params = {f"conv_{i}": {"kernel": _conv(_take(sd, f"net.{i}.weight")),
                             "bias": _take(sd, f"net.{i}.bias")}

@@ -172,6 +172,111 @@ class Trainer:
         self.step = 0
         self.start_time = time.time()
 
+    def load_pretrained(self, folder: str,
+                        models_to_load: tuple[str, ...] | None = None,
+                        bins: bool = True):
+        """Initialize sub-networks from a reference-layout `.pth` checkpoint
+        directory before training.
+
+        The `--load_pretrained` / `--load_weights_folder` /
+        `--mono_weights_folder` family: the reference's headline MAL recipe
+        fine-tunes FROM a pretrained ManyDepth dir (`repdepth.py:76-99`
+        `load_manydepth`, restoring depth bins from `encoder.pth`);
+        `--mono_weights_folder` loads only the teacher+pose nets with a
+        filtered state-dict update (`manydepth/trainer.py:1638-1655`), which
+        is `models_to_load=("mono_encoder", "mono_depth", "pose_encoder",
+        "pose")` here; `--models_to_load` is the same filter for the student
+        nets (`dynamicdepth/trainer.py:1403`). Optimizer moments start fresh,
+        as in the reference's `load_manydepth` path.
+        """
+        cfg = self.cfg
+        if cfg.method == "dualrefine":
+            from mal_tpu.convert import convert_dualrefine_checkpoint_dir
+            params, stats, extras = convert_dualrefine_checkpoint_dir(folder)
+        elif cfg.method == "dynamicdepth":
+            from mal_tpu.dynamic.evaluate import convert_dynamic_checkpoint_dir
+            params, stats, extras = convert_dynamic_checkpoint_dir(folder)
+        else:
+            from mal_tpu.convert import convert_mal_checkpoint_dir
+            params, stats, extras = convert_mal_checkpoint_dir(
+                folder, pose_cnn=cfg.pose_cnn)
+
+        host = jax.device_get(self.state)
+        new_params = dict(host.params)
+        new_stats = dict(host.batch_stats)
+        loaded = []
+        for name, sub in params.items():
+            if models_to_load is not None and name not in models_to_load:
+                continue
+            if name not in new_params:
+                raise KeyError(f"checkpoint net {name!r} not in the model "
+                               f"(have {sorted(new_params)})")
+            new_params[name] = jax.tree.map(jnp.asarray, sub)
+            if name in stats:
+                new_stats[name] = jax.tree.map(jnp.asarray, stats[name])
+            loaded.append(name)
+        host = host.replace(params=new_params, batch_stats=new_stats)
+
+        if bins and "min_depth_bin" in extras:
+            host = host.replace(bins=host.bins.load(
+                extras["min_depth_bin"], extras["max_depth_bin"]))
+        self.state = replicate(host, self.mesh)
+        print(f"loaded pretrained nets {loaded} from {folder}", flush=True)
+        return loaded
+
+    def load_imagenet(self, path: str):
+        """`--weights_init pretrained`: initialize the ResNet trunks from a
+        torchvision ImageNet checkpoint (`.pth` state dict).
+
+        The reference builds every ResNet encoder with
+        `torchvision.models.resnet18(pretrained=True)`
+        (`manydepth/networks/resnet_encoder.py:377`; default
+        `--weights_init pretrained`, `options.py:142-145`); the 2-image pose
+        encoder tiles conv1 and divides by the image count
+        (`resnet_encoder.py:63-67`). No network egress exists here, so the
+        checkpoint file is user-supplied (torchvision's standard
+        `resnet18-*.pth`). Decoders/heads keep their fresh init, exactly as
+        in the reference.
+        """
+        if self.cfg.method == "dualrefine":
+            raise NotImplementedError(
+                "dualrefine uses HRNet encoders; ImageNet-init them by "
+                "converting an HRNet release checkpoint (see "
+                "mal_tpu.convert.dualref) — the torchvision resnet layout "
+                "does not apply")
+        if self.cfg.num_layers != 18:
+            raise NotImplementedError(
+                "single-file ImageNet init assumes resnet18 everywhere (the "
+                f"reference's default); got num_layers={self.cfg.num_layers}")
+        from mal_tpu.convert import convert_imagenet_trunk, load_pth
+
+        sd = load_pth(path)
+        host = jax.device_get(self.state)
+        params, stats = dict(host.params), dict(host.batch_stats)
+
+        def _replace_trunk(net: str, n_images: int):
+            tp, ts = convert_imagenet_trunk(sd, 18, n_images)
+            tp = jax.tree.map(jnp.asarray, tp)
+            ts = jax.tree.map(jnp.asarray, ts)
+            sub_p, sub_s = params[net], dict(stats.get(net, {}))
+            if "encoder" in sub_p:  # wrapper module: trunk nested under it
+                sub_p = dict(sub_p)
+                assert (jax.tree.structure(sub_p["encoder"])
+                        == jax.tree.structure(tp)), net
+                sub_p["encoder"], sub_s["encoder"] = tp, ts
+            else:                   # the net IS the trunk (ResNetFeatures)
+                assert jax.tree.structure(sub_p) == jax.tree.structure(tp), net
+                sub_p, sub_s = tp, ts
+            params[net], stats[net] = sub_p, sub_s
+
+        _replace_trunk("encoder", 1)
+        _replace_trunk("mono_encoder", 1)
+        if not self.cfg.pose_cnn:
+            _replace_trunk("pose_encoder", 2)
+        self.state = replicate(
+            host.replace(params=params, batch_stats=stats), self.mesh)
+        print(f"ImageNet trunk init from {path}", flush=True)
+
     def resume(self, ckpt_path: str):
         """Restore a saved TrainState and continue mid-run (the reference has
         no mid-epoch resume at all; SURVEY.md §5 checkpoint/resume)."""
@@ -231,16 +336,29 @@ class Trainer:
                 self.logger.log(m, self.step)
 
             early = self.step == 250
-            periodic = (self.step != 0 and self.step % cfg.validate_every == 0)
+            # periodic validation gated by --validate_from
+            # (`manydepth/trainer.py:514`)
+            periodic = (self.step != 0 and self.step % cfg.validate_every == 0
+                        and self.step > cfg.validate_from)
             if (early or periodic) and self.val_batches is not None:
                 results = self.validate()
                 self.logger.log({f"val/{k}": v for k, v in results.items()},
                                 self.step)
-                if periodic and cfg.ckpt_dir:
+                # --save_until: checkpoints only from that step on
+                # (`manydepth/trainer.py:536`)
+                if periodic and cfg.ckpt_dir and self.step >= cfg.save_until:
                     save_checkpoint(os.path.join(
                         cfg.ckpt_dir, f"{cfg.model_name}_s{self.step}"),
                         self.state, cfg)
             self.step += 1
+
+        # --save_frequency end-of-epoch save — DualRefine's cadence
+        # (`dualrefine/trainer.py:219`; the other stacks save at validation)
+        if (cfg.method == "dualrefine" and cfg.ckpt_dir
+                and cfg.save_frequency > 0
+                and (epoch + 1) % cfg.save_frequency == 0):
+            save_checkpoint(os.path.join(
+                cfg.ckpt_dir, f"{cfg.model_name}_e{epoch}"), self.state, cfg)
 
         print(f"epoch {epoch} done at step {self.step} "
               f"({sec_to_hm_str(time.time() - self.start_time)})", flush=True)

@@ -92,6 +92,28 @@ def cmd_train(args):
 
     loader = _build_loaders(cfg, shard=shard)
     trainer = Trainer(cfg, loader, seg_variables=seg_variables)
+    if args.imagenet_ckpt:
+        # --weights_init pretrained: torchvision ImageNet trunk init
+        # (`manydepth/options.py:142-145`, `resnet_encoder.py:377`).
+        # Applied first — checkpoint loads below overwrite it, matching the
+        # reference's construct-then-load order.
+        trainer.load_imagenet(args.imagenet_ckpt)
+    if args.load_pretrained:
+        # the reference's headline recipe: fine-tune from a pretrained
+        # ManyDepth dir (`README.md:22` --load_pretrained, repdepth.py:76-99)
+        trainer.load_pretrained(
+            args.load_pretrained,
+            models_to_load=(tuple(args.models_to_load)
+                            if args.models_to_load else None))
+    if args.mono_ckpt:
+        # --mono_weights_folder: teacher + pose nets only
+        # (`manydepth/trainer.py:1638-1655`)
+        trainer.load_pretrained(
+            args.mono_ckpt, bins=False,
+            models_to_load=("mono_encoder", "mono_depth",
+                            "pose_encoder", "pose"))
+    if args.resume:
+        trainer.resume(args.resume)
     trainer.train()
 
 
@@ -116,6 +138,84 @@ def _build_eval_loader(cfg: Config, data_path: str, frames=(0, -1),
         ds = attach_doj_masks(ds, doj_root)
     return DataLoader(ds, batch_size or cfg.batch_size, shuffle=False,
                       drop_last=False)
+
+
+def cmd_export_pth(args):
+    """Export a mal_tpu orbax checkpoint to the reference's `.pth` layout,
+    so the reference's own tooling can ingest mal-trained weights:
+    per-net files for ManyDepth (`repdepth.py:76-99`), a single
+    `depth_pose.pth` for DualRefine (`dualrefine/evaluate_depth.py:105-149`).
+    """
+    cfg, variables, bins = _load_orbax_state(args.ckpt, args.set or [])
+    import jax
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    extras = {"min_depth_bin": bins[0], "max_depth_bin": bins[1]}
+    if cfg.method == "dualrefine":
+        from mal_tpu.convert.export_dualref import \
+            export_dualrefine_checkpoint_dir
+        # mal_tpu's bin tracker keeps min/max only (the pieces the model
+        # consumes); the reference checkpoint format also carries mean/
+        # median trackers (`dualrefine/trainer.py:903`) — approximated by
+        # the midpoint here and documented in the export
+        extras.update(height=cfg.height, width=cfg.width,
+                      mean_depth_bin=(bins[0] + bins[1]) / 2.0,
+                      median_depth_bin=(bins[0] + bins[1]) / 2.0)
+        paths = [export_dualrefine_checkpoint_dir(params, stats, args.out,
+                                                  extras)]
+    elif cfg.method == "manydepth":
+        from mal_tpu.convert.export_pth import export_mal_checkpoint_dir
+        paths = export_mal_checkpoint_dir(params, stats, args.out,
+                                          extras=extras,
+                                          num_layers=cfg.num_layers)
+    else:
+        raise SystemExit(f"export-pth supports manydepth/dualrefine "
+                         f"checkpoints; this one is {cfg.method}")
+    print("\n".join(paths))
+
+
+def _load_orbax_state(ckpt: str, overrides: list[str]):
+    """Restore a mal_tpu orbax TrainState checkpoint for inference.
+
+    `ckpt` is either a `step_NNNNNNNN` path or its parent directory (the
+    latest step is taken). The training `config.json` sidecar supplies the
+    model hyperparameters; `--set` overrides still apply (e.g. eval_split).
+    Returns (cfg, variables, (min_bin, max_bin)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mal_tpu.data.synthetic import synthetic_batch
+    from mal_tpu.train.state import create_train_state
+    from mal_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                          load_config)
+
+    if os.path.basename(ckpt.rstrip("/")).startswith("step_"):
+        step_path, cfg_dir = ckpt, os.path.dirname(ckpt.rstrip("/"))
+    else:
+        step_path, cfg_dir = latest_checkpoint(ckpt), ckpt
+        if step_path is None:
+            raise SystemExit(f"no step_* checkpoint under {ckpt}")
+    cfg = _apply_overrides(load_config(cfg_dir), overrides)
+
+    if cfg.method == "dynamicdepth":
+        from mal_tpu.dynamic.model import DynDepthModel
+        model = DynDepthModel(cfg)
+    elif cfg.method == "dualrefine":
+        from mal_tpu.dualref.model import DEQDepthPose
+        model = DEQDepthPose(cfg)
+    else:
+        from mal_tpu.models import MALModel
+        model = MALModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    template = create_train_state(
+        cfg, model, rng, jax.device_get(synthetic_batch(cfg, rng,
+                                                        batch_size=2)))
+    state = load_checkpoint(step_path, template)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, variables, (float(jnp.asarray(state.bins.min_depth)),
+                            float(jnp.asarray(state.bins.max_depth)))
 
 
 def cmd_eval(args):
@@ -145,7 +245,40 @@ def cmd_eval(args):
         os.path.isdir(args.ckpt)
         and any(f.endswith(".pth") for f in os.listdir(args.ckpt)))
     if not is_pth:
-        raise SystemExit("orbax checkpoint eval: use mal_tpu.train.trainer")
+        # mal_tpu's own orbax TrainState checkpoints
+        cfg, variables, bins = _load_orbax_state(args.ckpt, args.set or [])
+        if cfg.method == "dynamicdepth":
+            from mal_tpu.dynamic.evaluate import evaluate_dynamic
+            loader = _build_eval_loader(cfg, args.data_path,
+                                        frames=(0, -1, 1),
+                                        doj_root=args.doj_root, batch_size=1)
+            import numpy as np
+            gt = np.load(args.gt, fix_imports=True, encoding="latin1",
+                         allow_pickle=True)["data"]
+            results = evaluate_dynamic(cfg, variables, iter(loader), gt,
+                                       min_depth_bin=bins[0],
+                                       max_depth_bin=bins[1])
+            print(json.dumps(results, indent=2))
+            return
+        loader = _build_eval_loader(cfg, args.data_path)
+        if cfg.method == "dualrefine":
+            from mal_tpu.dualref.evaluate import infer_disparities_dualref
+            from mal_tpu.dualref.model import DEQDepthPose
+            model = DEQDepthPose(cfg)
+            disps = infer_disparities_dualref(model, variables, iter(loader),
+                                              cfg)
+        else:
+            from mal_tpu.models import MALModel
+            model = MALModel(cfg)
+            disps = infer_disparities(
+                model, variables, iter(loader), cfg,
+                eval_teacher=args.eval_teacher,
+                min_depth_bin=bins[0], max_depth_bin=bins[1],
+                zero_cost_volume=args.zero_cost_volume,
+                static_camera=args.static_camera,
+                post_process=args.post_process)
+        _finish_eval(args, cfg, disps, median_scaling, scale_factor)
+        return
 
     loader = _build_eval_loader(cfg, args.data_path)
 
@@ -353,6 +486,19 @@ def main(argv=None):
                     help="detectron2 .pkl Mask2Former weights (required for "
                          "--set temporal=true/main_temporal=true/"
                          "online_doj=true)")
+    pt.add_argument("--load_pretrained", default=None,
+                    help="reference-layout .pth checkpoint dir to initialize "
+                         "from (--load_pretrained/--load_weights_folder)")
+    pt.add_argument("--imagenet_ckpt", default=None,
+                    help="torchvision ImageNet resnet18 .pth for trunk init "
+                         "(--weights_init pretrained)")
+    pt.add_argument("--mono_ckpt", default=None,
+                    help="checkpoint dir for teacher+pose nets only "
+                         "(--mono_weights_folder)")
+    pt.add_argument("--models_to_load", nargs="*", default=None,
+                    help="subset of sub-nets to take from --load_pretrained")
+    pt.add_argument("--resume", default=None,
+                    help="orbax TrainState checkpoint to resume mid-run")
     pt.add_argument("--coordinator", default=None,
                     help="host0:port for multi-host DCN training")
     pt.add_argument("--num_hosts", type=int, default=1)
@@ -414,6 +560,14 @@ def main(argv=None):
     pf.add_argument("--num_points", type=int, default=112 * 112)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(fn=cmd_finetune_seg)
+
+    pp = sub.add_parser("export-pth")
+    pp.add_argument("--ckpt", required=True,
+                    help="orbax checkpoint (step_* path or its parent dir)")
+    pp.add_argument("--out", required=True,
+                    help="output dir for the reference-layout .pth files")
+    pp.add_argument("--set", nargs="*")
+    pp.set_defaults(fn=cmd_export_pth)
 
     px = sub.add_parser("export-seg")
     px.add_argument("--preset", default="kitti", choices=list(PRESETS))

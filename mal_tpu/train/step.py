@@ -185,7 +185,8 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             rng_noise, outputs["mono_disp"], color0, mono_warped,
             identity, syn=mono_syn,
             smoothness_weight=cfg.disparity_smoothness,
-            reproj_fn=reproj_fn)
+            reproj_fn=reproj_fn,
+            avg_reprojection=cfg.avg_reprojection)
 
         # --- student ---
         mono_depth_sg = jax.lax.stop_gradient(mono_depth)
@@ -210,6 +211,7 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
             smoothness_weight=cfg.disparity_smoothness,
             reproj_fn=reproj_fn,
+            avg_reprojection=cfg.avg_reprojection,
         )
 
         # --- total loss (`trainer.py:624-642`) ---

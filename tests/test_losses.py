@@ -129,3 +129,40 @@ def test_multi_loss_manager_init_and_adjust():
     _, st2 = multi_loss_total(st2, jnp.asarray([10.0, 1.0]))
     st2 = multi_loss_rebalance(st2, 1.0, update_once=True)
     np.testing.assert_allclose(np.asarray(st2.w), w_frozen, rtol=1e-6)
+
+
+def test_avg_reprojection_is_source_mean():
+    """--avg_reprojection (parsed by the reference, consumer commented out at
+    `loss_utils.py:171` — implemented with the monodepth2 semantics it
+    inherits): per-pixel MEAN over source frames replaces the min, for both
+    the warped and the identity (automask) maps."""
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    img = jax.random.uniform(k1, (2, 16, 24, 3))
+    w1 = jax.random.uniform(k2, (2, 16, 24, 3))
+    w2 = jax.random.uniform(k3, (2, 16, 24, 3))
+    disp = jax.random.uniform(k4, (2, 16, 24, 1))
+
+    out_min = losses.mono_losses(jax.random.PRNGKey(0), disp, img, [w1, w2],
+                                 [w2, w1])
+    out_avg = losses.mono_losses(jax.random.PRNGKey(0), disp, img, [w1, w2],
+                                 [w2, w1], avg_reprojection=True)
+    want = (losses.reprojection_loss(w1, img)
+            + losses.reprojection_loss(w2, img)) / 2.0
+    np.testing.assert_allclose(np.asarray(out_avg.min_reproj),
+                               np.asarray(want), rtol=1e-6)
+    assert float(out_avg.loss) != float(out_min.loss)
+
+    # multi path: the per-frame reduction averages, the 3-way distillation
+    # argmin is untouched
+    mono_d = jax.random.uniform(jax.random.PRNGKey(5), (2, 16, 24, 1)) + 0.5
+    multi_d = mono_d * 1.1
+    cmask = jnp.ones((2, 16, 24))
+    aug = jnp.zeros((2, 1, 1, 1))
+    m_avg = losses.multi_losses(disp, img, [w1, w2], multi_d, mono_d, cmask,
+                                aug, out_avg.min_reproj,
+                                avg_reprojection=True)
+    m_min = losses.multi_losses(disp, img, [w1, w2], multi_d, mono_d, cmask,
+                                aug, out_min.min_reproj)
+    assert float(m_avg.reproj_loss) != float(m_min.reproj_loss)
+    assert np.isfinite(float(m_avg.loss))

@@ -143,8 +143,9 @@ def _build_eval_loader(cfg: Config, data_path: str, frames=(0, -1),
 def cmd_export_pth(args):
     """Export a mal_tpu orbax checkpoint to the reference's `.pth` layout,
     so the reference's own tooling can ingest mal-trained weights:
-    per-net files for ManyDepth (`repdepth.py:76-99`), a single
-    `depth_pose.pth` for DualRefine (`dualrefine/evaluate_depth.py:105-149`).
+    per-net files for ManyDepth (`repdepth.py:76-99`) and DynamicDepth
+    (`dynamicdepth/trainer.py:1380-1407`), a single `depth_pose.pth` for
+    DualRefine (`dualrefine/evaluate_depth.py:105-149`).
     """
     cfg, variables, bins = _load_orbax_state(args.ckpt, args.set or [])
     import jax
@@ -164,14 +165,16 @@ def cmd_export_pth(args):
                       median_depth_bin=(bins[0] + bins[1]) / 2.0)
         paths = [export_dualrefine_checkpoint_dir(params, stats, args.out,
                                                   extras)]
-    elif cfg.method == "manydepth":
+    elif cfg.method == "dynamicdepth":
+        from mal_tpu.convert.export_pth import export_dynamic_checkpoint_dir
+        paths = export_dynamic_checkpoint_dir(params, stats, args.out,
+                                              extras=extras,
+                                              num_layers=cfg.num_layers)
+    else:
         from mal_tpu.convert.export_pth import export_mal_checkpoint_dir
         paths = export_mal_checkpoint_dir(params, stats, args.out,
                                           extras=extras,
                                           num_layers=cfg.num_layers)
-    else:
-        raise SystemExit(f"export-pth supports manydepth/dualrefine "
-                         f"checkpoints; this one is {cfg.method}")
     print("\n".join(paths))
 
 

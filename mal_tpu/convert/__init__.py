@@ -9,6 +9,7 @@ from mal_tpu.convert.torch_weights import (  # noqa: F401
     load_pth,
 )
 from mal_tpu.convert.export_pth import (  # noqa: F401
+    export_dynamic_checkpoint_dir,
     export_mal_checkpoint_dir,
     export_matching_encoder,
     export_resnet_trunk,

@@ -115,6 +115,27 @@ def export_pose_decoder(params: Mapping) -> dict[str, np.ndarray]:
     return sd
 
 
+def export_dynamic_checkpoint_dir(params: Mapping, stats: Mapping,
+                                  folder: str,
+                                  extras: Mapping | None = None,
+                                  num_layers: int = 18) -> list[str]:
+    """`DynDepthModel` pytrees -> the same per-net reference layout.
+
+    The dynamicdepth nets share the ManyDepth state-dict layouts
+    (`dynamicdepth/trainer.py:127-167`, `:1380-1407` load/save);
+    `DynDepthModel` hoists the matching encoder's trunk + reduce_conv to the
+    top level (the inverse of `convert_dynamic_checkpoint_dir`), so re-nest
+    them and reuse the ManyDepth exporter.
+    """
+    params = dict(params)
+    stats = dict(stats)
+    params["encoder"] = {"encoder": params.pop("encoder"),
+                         "reduce_conv": params.pop("reduce_conv")}
+    stats["encoder"] = {"encoder": stats["encoder"]}
+    return export_mal_checkpoint_dir(params, stats, folder, extras,
+                                     num_layers)
+
+
 def export_mal_checkpoint_dir(params: Mapping, stats: Mapping,
                               folder: str,
                               extras: Mapping | None = None,

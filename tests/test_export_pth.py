@@ -122,3 +122,42 @@ def test_cli_export_pth_from_orbax(tmp_path):
     for k, v in jax.tree_util.tree_flatten_with_path(want)[0]:
         np.testing.assert_array_equal(np.asarray(v),
                                       np.asarray(got[jax.tree_util.keystr(k)]))
+
+
+def test_export_dynamic_roundtrip(tmp_path):
+    """DynamicDepth: same per-net layout with the trunk/reduce_conv
+    re-nesting undone (`dynamicdepth/trainer.py:127-167`) — bit-exact
+    round-trip through `convert_dynamic_checkpoint_dir`."""
+    from mal_tpu.convert.export_pth import export_dynamic_checkpoint_dir
+    from mal_tpu.dynamic.evaluate import convert_dynamic_checkpoint_dir
+    from mal_tpu.dynamic.model import DynDepthModel
+
+    cfg = CFG.replace(method="dynamicdepth")
+    model = DynDepthModel(cfg)
+    rng = jax.random.PRNGKey(6)
+    batch = dict(synthetic_batch(cfg, rng, batch_size=1))
+    H, W = cfg.height, cfg.width
+    doj = np.zeros((1, H, W), np.float32)
+    doj[:, 20:40, 30:60] = 1.0
+    batch["doj_mask"] = jnp.asarray(doj)
+    batch["doj_mask-1"] = jnp.asarray(doj)
+    batch["doj_mask+1"] = jnp.asarray(doj)
+    variables = model.init({"params": rng}, batch, jnp.asarray(0.1),
+                           jnp.asarray(10.0), rng, train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    out = tmp_path / "dyn"
+    export_dynamic_checkpoint_dir(
+        params, stats, str(out),
+        extras={"min_depth_bin": 0.2, "max_depth_bin": 11.0})
+    params2, stats2, extras2 = convert_dynamic_checkpoint_dir(str(out))
+    np.testing.assert_allclose(float(extras2["min_depth_bin"]), 0.2,
+                               rtol=1e-6)
+
+    got = {jax.tree_util.keystr(k): v
+           for k, v in jax.tree_util.tree_flatten_with_path(params2)[0]}
+    for k, v in jax.tree_util.tree_flatten_with_path(params)[0]:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(got[ks]),
+                                      err_msg=ks)

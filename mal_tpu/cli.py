@@ -439,7 +439,14 @@ def cmd_finetune_seg(args):
         path = os.path.join(args.out, "seg_variables.msgpack")
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(variables)))
-        print(f"saved: {path}")
+        # detectron2-format .pkl alongside, so the fine-tuned segmenter
+        # round-trips into the Mask2Former ecosystem (and back into
+        # `--seg_pkl` / `convert_mask2former_pkl`)
+        from mal_tpu.convert.mask2former import export_mask2former_pkl
+        pkl = export_mask2former_pkl(jax.device_get(variables),
+                                     os.path.join(args.out, "model.pkl"),
+                                     size=args.size)
+        print(f"saved: {path}\nsaved: {pkl}")
 
 
 def cmd_export_seg(args):

@@ -206,3 +206,151 @@ def convert_mask2former_pkl(path: str, size: str = "large") -> dict:
     """`maskformer2_swin_large_*.pkl` -> `Mask2Former` variables, ready to
     pass to `Trainer(..., seg_variables=...)`."""
     return convert_mask2former_state(load_pkl(path), size)
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: Mask2Former variables -> detectron2 .pkl
+# ---------------------------------------------------------------------------
+
+def _dense_inv(sd: dict, prefix: str, p: Mapping, bias: bool = True):
+    sd[prefix + ".weight"] = np.transpose(np.asarray(p["kernel"]), (1, 0))
+    if bias:
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _ln_inv(sd: dict, prefix: str, p: Mapping):
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _conv2d_inv(sd: dict, prefix: str, p: Mapping, bias: bool = True):
+    sd[prefix + ".weight"] = np.transpose(np.asarray(p["kernel"]),
+                                          (3, 2, 0, 1))
+    if bias:
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def export_swin(p: Mapping, size: str = "large",
+                prefix: str = "backbone.") -> dict:
+    """Inverse of `convert_swin`, incl. the `relative_position_index`
+    buffers detectron2 checkpoints carry (recomputed constants here)."""
+    import jax
+
+    from mal_tpu.segment.swin import CONFIGS, relative_position_index
+
+    _, depths, _, ws = CONFIGS[size]
+    rpi = relative_position_index(ws).astype(np.int64)
+    sd: dict[str, np.ndarray] = {}
+    _conv2d_inv(sd, prefix + "patch_embed.proj", p["patch_embed"])
+    _ln_inv(sd, prefix + "patch_embed.norm", p["patch_norm"])
+    for s, depth in enumerate(depths):
+        stacked = p[f"stage{s}"]["blocks"]
+        for b in range(depth):
+            blk = jax.tree.map(lambda x: np.asarray(x)[b], stacked)
+            bp = f"{prefix}layers.{s}.blocks.{b}."
+            _ln_inv(sd, bp + "norm1", blk["norm1"])
+            sd[bp + "attn.relative_position_bias_table"] = \
+                blk["attn"]["relative_position_bias_table"]
+            sd[bp + "attn.relative_position_index"] = rpi
+            _dense_inv(sd, bp + "attn.qkv", blk["attn"]["qkv"])
+            _dense_inv(sd, bp + "attn.proj", blk["attn"]["proj"])
+            _ln_inv(sd, bp + "norm2", blk["norm2"])
+            _dense_inv(sd, bp + "mlp.fc1", blk["mlp_fc1"])
+            _dense_inv(sd, bp + "mlp.fc2", blk["mlp_fc2"])
+        if s < 3:
+            _ln_inv(sd, f"{prefix}layers.{s}.downsample.norm",
+                    p[f"merge{s}"]["norm"])
+            _dense_inv(sd, f"{prefix}layers.{s}.downsample.reduction",
+                       p[f"merge{s}"]["reduction"], bias=False)
+        _ln_inv(sd, f"{prefix}norm{s}", p[f"out_norm{s}"])
+    return sd
+
+
+def export_pixel_decoder(p: Mapping,
+                         prefix: str = "sem_seg_head.pixel_decoder.",
+                         num_layers: int = 6) -> dict:
+    sd: dict[str, np.ndarray] = {}
+    for i in range(3):
+        _conv2d_inv(sd, f"{prefix}input_proj.{i}.0", p[f"input_proj_{i}"])
+        _ln_inv(sd, f"{prefix}input_proj.{i}.1", p[f"input_proj_gn_{i}"])
+    sd[prefix + "transformer.level_embed"] = np.asarray(p["level_embed"])
+    for l in range(num_layers):
+        lp = f"{prefix}transformer.encoder.layers.{l}."
+        lay = p[f"layer_{l}"]
+        for name in ("sampling_offsets", "attention_weights",
+                     "value_proj", "output_proj"):
+            _dense_inv(sd, lp + "self_attn." + name, lay["self_attn"][name])
+        _ln_inv(sd, lp + "norm1", lay["norm1"])
+        _dense_inv(sd, lp + "linear1", lay["linear1"])
+        _dense_inv(sd, lp + "linear2", lay["linear2"])
+        _ln_inv(sd, lp + "norm2", lay["norm2"])
+    _conv2d_inv(sd, prefix + "adapter_1", p["fpn_adapter"], bias=False)
+    _ln_inv(sd, prefix + "adapter_1.norm", p["adapter_gn"])
+    _conv2d_inv(sd, prefix + "layer_1", p["fpn_conv"], bias=False)
+    _ln_inv(sd, prefix + "layer_1.norm", p["layer_gn"])
+    _conv2d_inv(sd, prefix + "mask_features", p["mask_features"])
+    return sd
+
+
+def _mha_inv(sd: dict, prefix: str, p: Mapping):
+    """Repack our q/k/v/out Denses into torch nn.MultiheadAttention keys."""
+    qw = np.transpose(np.asarray(p["q"]["kernel"]), (1, 0))
+    kw = np.transpose(np.asarray(p["k"]["kernel"]), (1, 0))
+    vw = np.transpose(np.asarray(p["v"]["kernel"]), (1, 0))
+    sd[prefix + ".in_proj_weight"] = np.concatenate([qw, kw, vw], axis=0)
+    sd[prefix + ".in_proj_bias"] = np.concatenate(
+        [np.asarray(p[n]["bias"]) for n in ("q", "k", "v")], axis=0)
+    _dense_inv(sd, prefix + ".out_proj", p["out"])
+
+
+def export_predictor(p: Mapping,
+                     prefix: str = "sem_seg_head.predictor.",
+                     num_layers: int = 9) -> dict:
+    sd: dict[str, np.ndarray] = {}
+    sd[prefix + "query_feat.weight"] = np.asarray(p["query_feat"])
+    sd[prefix + "query_embed.weight"] = np.asarray(p["query_embed"])
+    sd[prefix + "level_embed.weight"] = np.asarray(p["level_embed"])
+    _ln_inv(sd, prefix + "decoder_norm", p["decoder_norm"])
+    _dense_inv(sd, prefix + "class_embed", p["class_embed"])
+    for i in range(3):
+        _dense_inv(sd, f"{prefix}mask_embed.layers.{i}",
+                   p["mask_embed"][f"fc{i}"])
+    for l in range(num_layers):
+        _mha_inv(sd, f"{prefix}transformer_cross_attention_layers.{l}"
+                 ".multihead_attn", p[f"xattn_{l}"])
+        _ln_inv(sd, f"{prefix}transformer_cross_attention_layers.{l}.norm",
+                p[f"xnorm_{l}"])
+        _mha_inv(sd, f"{prefix}transformer_self_attention_layers.{l}"
+                 ".self_attn", p[f"sattn_{l}"])
+        _ln_inv(sd, f"{prefix}transformer_self_attention_layers.{l}.norm",
+                p[f"snorm_{l}"])
+        _dense_inv(sd, f"{prefix}transformer_ffn_layers.{l}.linear1",
+                   p[f"ffn1_{l}"])
+        _dense_inv(sd, f"{prefix}transformer_ffn_layers.{l}.linear2",
+                   p[f"ffn2_{l}"])
+        _ln_inv(sd, f"{prefix}transformer_ffn_layers.{l}.norm",
+                p[f"fnorm_{l}"])
+    return sd
+
+
+def export_mask2former_state(variables: Mapping,
+                             size: str = "large") -> dict:
+    """`Mask2Former` variables -> flat detectron2-key state dict, so a
+    segmenter fine-tuned in mal_tpu (`cli finetune-seg`) round-trips into
+    the detectron2/Mask2Former ecosystem. Inverse of
+    `convert_mask2former_state`; round-trip tested bit-exactly."""
+    params = variables["params"]
+    sd: dict[str, np.ndarray] = {}
+    sd.update(export_swin(params["backbone"], size))
+    sd.update(export_pixel_decoder(params["pixel_decoder"]))
+    sd.update(export_predictor(params["predictor"]))
+    return sd
+
+
+def export_mask2former_pkl(variables: Mapping, path: str,
+                           size: str = "large") -> str:
+    """Write a detectron2-format `.pkl` ({"model": {...}, "__author__"})."""
+    sd = export_mask2former_state(variables, size)
+    with open(path, "wb") as f:
+        pickle.dump({"model": sd, "__author__": "mal_tpu"}, f)
+    return path

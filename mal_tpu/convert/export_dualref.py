@@ -239,6 +239,11 @@ def export_depth_pose(params: Mapping, stats: Mapping,
         trunk = export_resnet_trunk(params[f"pose_trunk_{side}"],
                                     stats[f"pose_trunk_{side}"], 18,
                                     prefix=f"pnets.{side}.0.")
+        # torchvision's classifier head: ResNetMultiImageInput inherits it
+        # (`resnet_encoder.py:23-29`), never executed — zero placeholders so
+        # the filtered-strict eval load passes
+        trunk[f"pnets.{side}.0.fc.weight"] = np.zeros((1000, 512), np.float32)
+        trunk[f"pnets.{side}.0.fc.bias"] = np.zeros(1000, np.float32)
         sd.update(trunk)
         head = params[f"pose_head_{side}"]
         for our, ref in (("squeeze", "squeeze"), ("pose_0", "pose0"),

@@ -153,20 +153,34 @@ def export_mal_checkpoint_dir(params: Mapping, stats: Mapping,
     os.makedirs(folder, exist_ok=True)
 
     def _wrap(flat: dict) -> dict:
-        return {k: torch.from_numpy(np.ascontiguousarray(v))
+        # depth bins stay PYTHON floats: the DynamicDepth bin restore does
+        # numpy arithmetic on them (`dynamicdepth/trainer.py:1410-1416` ->
+        # `resnet_encoder.py compute_depth_bins`), which chokes on 0-dim
+        # tensors; floats satisfy every consumer (incl. our converter)
+        return {k: (float(np.asarray(v))
+                    if k in ("min_depth_bin", "max_depth_bin")
+                    else torch.from_numpy(np.ascontiguousarray(v)))
                 for k, v in flat.items()}
+
+    def _trunk_with_fc(net: str) -> dict:
+        sd = export_resnet_trunk(params[net]["encoder"],
+                                 stats[net]["encoder"], 18,
+                                 prefix="encoder.")
+        # torchvision's frozen classifier head: never executed by the
+        # reference (`resnet_encoder.py:381-383` freezes it) but present in
+        # its state dicts, and `load_manydepth` loads the pose encoder
+        # STRICTLY (`repdepth.py:91`) — emit zero placeholders
+        sd["encoder.fc.weight"] = np.zeros((1000, 512), np.float32)
+        sd["encoder.fc.bias"] = np.zeros(1000, np.float32)
+        return sd
 
     nets = {
         "encoder": export_matching_encoder(
             params["encoder"], stats["encoder"], extras, num_layers),
         "depth": export_depth_decoder(params["depth"]),
-        "mono_encoder": export_resnet_trunk(
-            params["mono_encoder"]["encoder"],
-            stats["mono_encoder"]["encoder"], 18, prefix="encoder."),
+        "mono_encoder": _trunk_with_fc("mono_encoder"),
         "mono_depth": export_depth_decoder(params["mono_depth"]),
-        "pose_encoder": export_resnet_trunk(
-            params["pose_encoder"]["encoder"],
-            stats["pose_encoder"]["encoder"], 18, prefix="encoder."),
+        "pose_encoder": _trunk_with_fc("pose_encoder"),
         "pose": export_pose_decoder(params["pose"]),
     }
     paths = []

@@ -90,8 +90,27 @@ def cmd_train(args):
         from mal_tpu.convert.mask2former import convert_mask2former_pkl
         seg_variables = convert_mask2former_pkl(args.seg_pkl)
 
+    # validation loader from the eval split (the reference always builds one
+    # from the split's test_files.txt, `manydepth/trainer.py:283,299-316`;
+    # checkpoints are ONLY written at validation, `:514-537`). --gt enables
+    # full depth metrics; without it validation still runs (and still
+    # triggers the checkpoint save) but only reports image counts.
+    val_batches = None
+    gt_depths = None
+    if not args.no_eval:
+        val_files = os.path.join("splits", cfg.eval_split, "test_files.txt")
+        if os.path.isfile(val_files):
+            frames = (0, -1, 1) if cfg.method == "dynamicdepth" else (0, -1)
+            val_batches = _build_eval_loader(
+                cfg, args.eval_data_path or args.data_path, frames=frames,
+                batch_size=1 if cfg.method == "dynamicdepth"
+                else cfg.batch_size)
+            if args.gt:
+                gt_depths = _load_gt_depths(args.gt)
+
     loader = _build_loaders(cfg, shard=shard)
-    trainer = Trainer(cfg, loader, seg_variables=seg_variables)
+    trainer = Trainer(cfg, loader, seg_variables=seg_variables,
+                      val_batches=val_batches, gt_depths=gt_depths)
     if args.imagenet_ckpt:
         # --weights_init pretrained: torchvision ImageNet trunk init
         # (`manydepth/options.py:142-145`, `resnet_encoder.py:377`).
@@ -112,9 +131,30 @@ def cmd_train(args):
             args.mono_ckpt, bins=False,
             models_to_load=("mono_encoder", "mono_depth",
                             "pose_encoder", "pose"))
+    start_epoch = 0
     if args.resume:
-        trainer.resume(args.resume)
-    trainer.train()
+        resumed_step = trainer.resume(args.resume)
+        try:
+            steps_per_epoch = len(loader)
+        except TypeError:
+            steps_per_epoch = 0
+        if steps_per_epoch:
+            # continue from the interrupted epoch so epoch-keyed schedules
+            # (loss_blc annealing, freeze epochs, save_frequency) line up
+            start_epoch = resumed_step // steps_per_epoch
+    trainer.train(start_epoch=start_epoch)
+
+
+def _load_gt_depths(path: str):
+    """GT depths for eval/validation: a KITTI-style `gt_depths.npz` or a
+    directory of `NNN_depth.npy` files (the Cityscapes layout the reference
+    reads per-image, `dynamicdepth/trainer.py:1177`)."""
+    if os.path.isdir(path):
+        files = sorted(f for f in os.listdir(path)
+                       if f.endswith("_depth.npy"))
+        return [np.load(os.path.join(path, f)) for f in files]
+    return np.load(path, fix_imports=True, encoding="latin1",
+                   allow_pickle=True)["data"]
 
 
 def _build_eval_loader(cfg: Config, data_path: str, frames=(0, -1),
@@ -252,12 +292,16 @@ def cmd_eval(args):
         cfg, variables, bins = _load_orbax_state(args.ckpt, args.set or [])
         if cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.evaluate import evaluate_dynamic
+            if not args.gt:
+                raise SystemExit("dynamicdepth eval needs --gt (the eval_mode"
+                                 " protocol computes doj metrics against GT)")
             loader = _build_eval_loader(cfg, args.data_path,
                                         frames=(0, -1, 1),
                                         doj_root=args.doj_root, batch_size=1)
             import numpy as np
-            gt = np.load(args.gt, fix_imports=True, encoding="latin1",
-                         allow_pickle=True)["data"]
+
+            # same GT formats as the .pth path (run_dynamic_eval)
+            gt = _load_gt_depths(args.gt)
             results = evaluate_dynamic(cfg, variables, iter(loader), gt,
                                        min_depth_bin=bins[0],
                                        max_depth_bin=bins[1])
@@ -509,6 +553,17 @@ def main(argv=None):
                     help="subset of sub-nets to take from --load_pretrained")
     pt.add_argument("--resume", default=None,
                     help="orbax TrainState checkpoint to resume mid-run")
+    pt.add_argument("--gt", default=None,
+                    help="gt depths for validation metrics (gt_depths.npz "
+                         "or a dir of NNN_depth.npy)")
+    pt.add_argument("--eval_data_path", default=None,
+                    help="data root for the validation split when it "
+                         "differs from --data_path (the reference's "
+                         "--cs_eval_path, `manydepth/trainer.py:296`)")
+    pt.add_argument("--no_eval", action="store_true",
+                    help="skip building the validation loader (NOTE: "
+                         "periodic checkpoints are written at validation, "
+                         "so only end-of-epoch dualrefine saves remain)")
     pt.add_argument("--coordinator", default=None,
                     help="host0:port for multi-host DCN training")
     pt.add_argument("--num_hosts", type=int, default=1)

@@ -195,12 +195,23 @@ def _split_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     return {k[len(pl):]: v for k, v in sd.items() if k.startswith(pl)}
 
 
+_MAL_NETS = ("encoder", "depth", "mono_encoder", "mono_depth",
+             "pose_encoder", "pose")
+
+
 def convert_mal_checkpoint_dir(folder: str, num_layers: int = 18,
-                               pose_cnn: bool = False):
+                               pose_cnn: bool = False,
+                               only: tuple[str, ...] | None = None):
     """Reference checkpoint dir -> (params, batch_stats, extras) for MALModel.
 
-    Accepts either per-net files or a whole `model.pth`.
+    Accepts either per-net files or a whole `model.pth`. `only` restricts
+    conversion to a subset of nets — partial checkpoint dirs are real in the
+    reference (`--mono_weights_folder` folders hold just the four teacher/
+    pose nets, `manydepth/trainer.py:1638-1655`), so files outside the
+    subset are never opened.
     """
+    wanted = _MAL_NETS if only is None else tuple(
+        n for n in _MAL_NETS if n in only)
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
     extras: dict[str, Any] = {}
@@ -208,29 +219,34 @@ def convert_mal_checkpoint_dir(folder: str, num_layers: int = 18,
     model_pth = os.path.join(folder, "model.pth")
     if os.path.exists(model_pth):
         sd = load_pth(model_pth)
-        nets = {name: _split_prefix(sd, name) for name in
-                ("encoder", "depth", "mono_encoder", "mono_depth",
-                 "pose_encoder", "pose")}
+        nets = {name: _split_prefix(sd, name) for name in wanted}
     else:
         nets = {name: load_pth(os.path.join(folder, f"{name}.pth"))
-                for name in ("encoder", "depth", "mono_encoder", "mono_depth",
-                             "pose_encoder", "pose")}
+                for name in wanted}
 
-    params["encoder"], stats["encoder"], extras = convert_matching_encoder(
-        nets["encoder"], num_layers)
-    params["depth"] = convert_depth_decoder(nets["depth"])
+    if "encoder" in nets:
+        params["encoder"], stats["encoder"], extras = \
+            convert_matching_encoder(nets["encoder"], num_layers)
+    if "depth" in nets:
+        params["depth"] = convert_depth_decoder(nets["depth"])
 
-    mp, ms = convert_resnet_trunk(nets["mono_encoder"], 18, prefix="encoder.")
-    params["mono_encoder"] = {"encoder": mp}
-    stats["mono_encoder"] = {"encoder": ms}
-    params["mono_depth"] = convert_depth_decoder(nets["mono_depth"])
+    if "mono_encoder" in nets:
+        mp, ms = convert_resnet_trunk(nets["mono_encoder"], 18,
+                                      prefix="encoder.")
+        params["mono_encoder"] = {"encoder": mp}
+        stats["mono_encoder"] = {"encoder": ms}
+    if "mono_depth" in nets:
+        params["mono_depth"] = convert_depth_decoder(nets["mono_depth"])
 
-    if pose_cnn:
-        params["pose_encoder"] = convert_pose_cnn(nets["pose_encoder"])
-    else:
-        pp, ps = convert_resnet_trunk(nets["pose_encoder"], 18, prefix="encoder.")
-        params["pose_encoder"] = {"encoder": pp}
-        stats["pose_encoder"] = {"encoder": ps}
+    if "pose_encoder" in nets:
+        if pose_cnn:
+            params["pose_encoder"] = convert_pose_cnn(nets["pose_encoder"])
+        else:
+            pp, ps = convert_resnet_trunk(nets["pose_encoder"], 18,
+                                          prefix="encoder.")
+            params["pose_encoder"] = {"encoder": pp}
+            stats["pose_encoder"] = {"encoder": ps}
+    if "pose" in nets and not pose_cnn:
         params["pose"] = convert_pose_decoder(nets["pose"])
 
     track = os.path.join(folder, "track.pth")

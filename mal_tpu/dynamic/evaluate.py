@@ -33,21 +33,25 @@ EVAL_MIN_DEPTH = 1e-3
 EVAL_MAX_DEPTH = 80.0
 
 
-def convert_dynamic_checkpoint_dir(folder: str):
+def convert_dynamic_checkpoint_dir(folder: str,
+                                   only: tuple[str, ...] | None = None):
     """Per-net `.pth` dir -> (params, batch_stats, extras) for `DynDepthModel`.
 
     The reference's dynamicdepth nets share the ManyDepth layouts
     (`dynamicdepth/trainer.py:127-167`); `DynDepthModel` hoists the matching
-    encoder's trunk + reduce_conv to the top level, so re-nest those.
+    encoder's trunk + reduce_conv to the top level, so re-nest those (an
+    `only` subset naming "encoder" covers BOTH hoisted keys — the
+    reference's "encoder" net includes reduce_conv).
     """
     from mal_tpu.convert import convert_mal_checkpoint_dir
 
-    params, stats, extras = convert_mal_checkpoint_dir(folder)
-    enc_p = params.pop("encoder")
-    enc_s = stats.pop("encoder")
-    params["encoder"] = enc_p["encoder"]
-    params["reduce_conv"] = enc_p["reduce_conv"]
-    stats["encoder"] = enc_s["encoder"]
+    params, stats, extras = convert_mal_checkpoint_dir(folder, only=only)
+    if "encoder" in params:
+        enc_p = params.pop("encoder")
+        enc_s = stats.pop("encoder")
+        params["encoder"] = enc_p["encoder"]
+        params["reduce_conv"] = enc_p["reduce_conv"]
+        stats["encoder"] = enc_s["encoder"]
     return params, stats, extras
 
 

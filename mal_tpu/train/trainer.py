@@ -195,11 +195,18 @@ class Trainer:
             params, stats, extras = convert_dualrefine_checkpoint_dir(folder)
         elif cfg.method == "dynamicdepth":
             from mal_tpu.dynamic.evaluate import convert_dynamic_checkpoint_dir
-            params, stats, extras = convert_dynamic_checkpoint_dir(folder)
+            params, stats, extras = convert_dynamic_checkpoint_dir(
+                folder, only=models_to_load)
         else:
             from mal_tpu.convert import convert_mal_checkpoint_dir
             params, stats, extras = convert_mal_checkpoint_dir(
-                folder, pose_cnn=cfg.pose_cnn)
+                folder, pose_cnn=cfg.pose_cnn, only=models_to_load)
+        # the dynamic converter hoists reduce_conv out of "encoder"; an
+        # "encoder" subset must carry it along (it IS part of the
+        # reference's encoder net)
+        if (models_to_load is not None and cfg.method == "dynamicdepth"
+                and "encoder" in models_to_load):
+            models_to_load = tuple(models_to_load) + ("reduce_conv",)
 
         host = jax.device_get(self.state)
         new_params = dict(host.params)
@@ -279,17 +286,29 @@ class Trainer:
 
     def resume(self, ckpt_path: str):
         """Restore a saved TrainState and continue mid-run (the reference has
-        no mid-epoch resume at all; SURVEY.md §5 checkpoint/resume)."""
-        from mal_tpu.utils.checkpoint import load_checkpoint
+        no mid-epoch resume at all; SURVEY.md §5 checkpoint/resume).
 
+        Accepts either a `step_NNNNNNNN` path or its parent save dir (the
+        latest step is taken, like `cli eval --ckpt`)."""
+        from mal_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        if not os.path.basename(ckpt_path.rstrip("/")).startswith("step_"):
+            latest = latest_checkpoint(ckpt_path)
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no step_* checkpoint under {ckpt_path}")
+            ckpt_path = latest
         restored = load_checkpoint(ckpt_path, jax.device_get(self.state))
         self.state = replicate(restored, self.mesh)
         self.step = int(restored.step)
         return self.step
 
     # ------------------------------------------------------------------
-    def train(self):
-        for epoch in range(self.cfg.num_epochs):
+    def train(self, start_epoch: int = 0):
+        """`start_epoch` > 0 resumes mid-run: epoch-keyed schedules (loss_blc
+        lambda annealing, the DualRefine freeze epoch, save_frequency) see
+        the true epoch index instead of replaying from 0."""
+        for epoch in range(start_epoch, self.cfg.num_epochs):
             self.run_epoch(epoch)
         return self.state
 

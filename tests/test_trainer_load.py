@@ -117,6 +117,41 @@ def test_load_pretrained_mono_subset(tmp_path):
 
 
 @pytest.mark.slow
+def test_load_pretrained_partial_dir(tmp_path):
+    """A real --mono_weights_folder holds ONLY the four teacher/pose files
+    (`manydepth/trainer.py:1638-1655`); loading the subset must never open
+    the absent encoder/depth files."""
+    ck = _make_ref_ckpt_dir(tmp_path)
+    os.remove(os.path.join(ck, "encoder.pth"))
+    os.remove(os.path.join(ck, "depth.pth"))
+    t = Trainer(CFG, Loader(CFG), num_devices=1,
+                logger=MetricLogger(sink=lambda m, s: None))
+    before = {k: _leaf_norm(v)
+              for k, v in jax.device_get(t.state).params.items()}
+    loaded = t.load_pretrained(
+        ck, bins=False,
+        models_to_load=("mono_encoder", "mono_depth", "pose_encoder", "pose"))
+    state = jax.device_get(t.state)
+    assert set(loaded) == {"mono_encoder", "mono_depth",
+                           "pose_encoder", "pose"}
+    for k in ("encoder", "depth"):
+        assert _leaf_norm(state.params[k]) == before[k], k
+
+
+def test_train_start_epoch():
+    """train(start_epoch=k) resumes the epoch loop at k so epoch-keyed
+    schedules (freeze epochs, loss_blc annealing, save cadence) see true
+    epoch indices instead of replaying from 0."""
+    cfg = CFG.replace(num_epochs=4)
+    t = Trainer(cfg, Loader(cfg), num_devices=1,
+                logger=MetricLogger(sink=lambda m, s: None))
+    seen = []
+    t.run_epoch = lambda e: seen.append(e)
+    t.train(start_epoch=2)
+    assert seen == [2, 3]
+
+
+@pytest.mark.slow
 def test_validate_from_and_save_until(tmp_path):
     """--validate_from delays periodic validation; --save_until gates
     checkpoint writes (`manydepth/trainer.py:514,536`)."""

@@ -196,13 +196,11 @@ def cmd_export_pth(args):
     if cfg.method == "dualrefine":
         from mal_tpu.convert.export_dualref import \
             export_dualrefine_checkpoint_dir
-        # mal_tpu's bin tracker keeps min/max only (the pieces the model
-        # consumes); the reference checkpoint format also carries mean/
-        # median trackers (`dualrefine/trainer.py:903`) — approximated by
-        # the midpoint here and documented in the export
+        # the reference checkpoint format also carries mean/median trackers
+        # (`dualrefine/trainer.py:903`); the bin tracker records their EMAs
+        # during dualrefine training (train/state.py track_stats)
         extras.update(height=cfg.height, width=cfg.width,
-                      mean_depth_bin=(bins[0] + bins[1]) / 2.0,
-                      median_depth_bin=(bins[0] + bins[1]) / 2.0)
+                      mean_depth_bin=bins[2], median_depth_bin=bins[3])
         paths = [export_dualrefine_checkpoint_dir(params, stats, args.out,
                                                   extras)]
     elif cfg.method == "dynamicdepth":
@@ -224,7 +222,7 @@ def _load_orbax_state(ckpt: str, overrides: list[str]):
     `ckpt` is either a `step_NNNNNNNN` path or its parent directory (the
     latest step is taken). The training `config.json` sidecar supplies the
     model hyperparameters; `--set` overrides still apply (e.g. eval_split).
-    Returns (cfg, variables, (min_bin, max_bin)).
+    Returns (cfg, variables, (min_bin, max_bin, mean_bin, median_bin)).
     """
     import jax
     import jax.numpy as jnp
@@ -258,7 +256,9 @@ def _load_orbax_state(ckpt: str, overrides: list[str]):
     state = load_checkpoint(step_path, template)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     return cfg, variables, (float(jnp.asarray(state.bins.min_depth)),
-                            float(jnp.asarray(state.bins.max_depth)))
+                            float(jnp.asarray(state.bins.max_depth)),
+                            float(jnp.asarray(state.bins.mean_depth)),
+                            float(jnp.asarray(state.bins.median_depth)))
 
 
 def cmd_eval(args):

@@ -210,8 +210,10 @@ def make_dualref_train_step(cfg: Config, model,
 
         new_bins = state.bins
         if cfg.adaptive_bins:
+            # DualRefine additionally tracks mean/median EMAs
+            # (`dualrefine/trainer.py:350-372`)
             new_bins = state.bins.update(aux["depth0"], cfg.min_depth,
-                                         cfg.depth_bin_ema)
+                                         cfg.depth_bin_ema, track_stats=True)
 
         new_state = TrainState(
             step=state.step + 1, params=new_params,

@@ -25,34 +25,69 @@ Array = jax.Array
 
 
 class DepthBinTracker(NamedTuple):
-    min_depth: Array  # ()
-    max_depth: Array  # ()
-    updated: Array    # () bool — mirror of `DepthBins.updated`
+    min_depth: Array   # ()
+    max_depth: Array   # ()
+    updated: Array     # () bool — mirror of `DepthBins.updated`
+    # DualRefine additionally tracks mean/median EMAs
+    # (`dualrefine/trainer.py:82-83,357-372`). They are write-only state in
+    # the reference (stored + checkpointed, never consumed by the model) but
+    # its checkpoint format carries them, so track them exactly rather than
+    # approximating at export time.
+    mean_depth: Array    # (), init 1.0
+    median_depth: Array  # (), init 1.0
 
     @classmethod
     def create(cls, min_depth: float = 0.1, max_depth: float = 10.0):
         return cls(jnp.asarray(min_depth, jnp.float32),
                    jnp.asarray(max_depth, jnp.float32),
-                   jnp.zeros((), bool))
+                   jnp.zeros((), bool),
+                   jnp.ones((), jnp.float32),
+                   jnp.ones((), jnp.float32))
 
     def update(self, mono_depth: Array, opt_min_depth: float,
-               ema: float = 0.99) -> "DepthBinTracker":
-        """mono_depth: (B, H, W, 1) teacher depth for the *global* batch."""
+               ema: float = 0.99, track_stats: bool = False
+               ) -> "DepthBinTracker":
+        """mono_depth: (B, H, W, 1) teacher depth for the *global* batch.
+
+        `track_stats` adds the DualRefine mean/median EMAs, reproducing the
+        reference's quirks exactly (`dualrefine/trainer.py:357-363`): the
+        mean reduces ONLY batch element 0 (`.mean(-1)[0]` indexes the batch
+        after the reduction collapses the tuple-free mean), while the median
+        is a median-of-row-medians averaged over the batch, with torch's
+        lower-middle median for even lengths."""
         per_img_min = jnp.min(mono_depth, axis=(1, 2, 3))
         per_img_max = jnp.max(mono_depth, axis=(1, 2, 3))
         mn = jnp.maximum(opt_min_depth, jnp.mean(per_img_min) * 0.9)
         mx = jnp.mean(per_img_max) * 1.1
+        mean_d, median_d = self.mean_depth, self.median_depth
+        if track_stats:
+            d = mono_depth[..., 0]                        # (B, H, W)
+            new_mean = jnp.mean(d[0])
+            # torch .median picks sorted[(n-1)//2]: quantile 'lower'
+            row_med = jnp.quantile(d, 0.5, axis=-1, method="lower")  # (B, H)
+            new_median = jnp.mean(
+                jnp.quantile(row_med, 0.5, axis=-1, method="lower"))
+            mean_d = mean_d * ema + new_mean * (1.0 - ema)
+            median_d = median_d * ema + new_median * (1.0 - ema)
         return DepthBinTracker(
             min_depth=self.min_depth * ema + mn * (1.0 - ema),
             max_depth=self.max_depth * ema + mx * (1.0 - ema),
             updated=jnp.ones((), bool),
+            mean_depth=mean_d,
+            median_depth=median_d,
         )
 
-    def load(self, min_depth, max_depth) -> "DepthBinTracker":
+    def load(self, min_depth, max_depth, mean_depth=None,
+             median_depth=None) -> "DepthBinTracker":
+        def _f(v, fallback):
+            return (fallback if v is None
+                    else jnp.asarray(v, jnp.float32).reshape(()))
         return DepthBinTracker(
-            jnp.asarray(min_depth, jnp.float32).reshape(()),
-            jnp.asarray(max_depth, jnp.float32).reshape(()),
-            jnp.ones((), bool))
+            _f(min_depth, self.min_depth),
+            _f(max_depth, self.max_depth),
+            jnp.ones((), bool),
+            _f(mean_depth, self.mean_depth),
+            _f(median_depth, self.median_depth))
 
 
 @flax.struct.dataclass

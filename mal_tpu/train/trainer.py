@@ -226,7 +226,8 @@ class Trainer:
 
         if bins and "min_depth_bin" in extras:
             host = host.replace(bins=host.bins.load(
-                extras["min_depth_bin"], extras["max_depth_bin"]))
+                extras["min_depth_bin"], extras["max_depth_bin"],
+                extras.get("mean_depth_bin"), extras.get("median_depth_bin")))
         self.state = replicate(host, self.mesh)
         print(f"loaded pretrained nets {loaded} from {folder}", flush=True)
         return loaded

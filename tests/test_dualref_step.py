@@ -125,3 +125,30 @@ def test_n_losses_trajectory_supervision():
                               batch["color_aug"]["-1"], batch["K"],
                               invert=True, train=False, mutable=False)
     assert "disp_0_1" in out_eval and "disp_0_2" not in out_eval
+
+
+def test_bin_tracker_mean_median_oracle():
+    """DualRefine's mean/median depth-bin EMAs vs the reference's own torch
+    math (`dualrefine/trainer.py:357-372`): the mean reduces only batch
+    element 0, the median is a lower-middle median-of-row-medians averaged
+    over the batch, both EMA'd at 0.99."""
+    import torch
+
+    rng = np.random.RandomState(7)
+    for B, H, W in [(2, 6, 10), (3, 5, 9)]:  # even and odd lengths
+        d = rng.rand(B, H, W, 1).astype(np.float32) * 5 + 0.2
+        d_t = torch.from_numpy(d[..., 0][:, None])  # (B, 1, H, W)
+
+        mean_ref = d_t.mean(-1)[0].mean(-1)[0].mean().item()
+        median_ref = d_t.median(-1)[0].median(-1)[0].mean().item()
+
+        tr = DepthBinTracker.create()
+        tr2 = tr.update(jnp.asarray(d), 0.1, ema=0.99, track_stats=True)
+        np.testing.assert_allclose(float(tr2.mean_depth),
+                                   1.0 * 0.99 + mean_ref * 0.01, rtol=1e-5)
+        np.testing.assert_allclose(float(tr2.median_depth),
+                                   1.0 * 0.99 + median_ref * 0.01, rtol=1e-5)
+
+    # without track_stats (manydepth/dynamicdepth) the stats stay put
+    tr3 = DepthBinTracker.create().update(jnp.asarray(d), 0.1)
+    assert float(tr3.mean_depth) == 1.0 and float(tr3.median_depth) == 1.0

@@ -119,7 +119,7 @@ class Config:
     # "highest" = exact fp32 parity (69 ms), "default" = bf16 (~1e-3 cost
     # error, 41 ms); see benchmarks/HISTORY.md.
     cv_mxu_precision: str = "highest"
-    remat: bool = False              # jax.checkpoint the encoders
+    remat: bool = False              # jax.checkpoint the loss pyramids
 
     # --- parallelism ---
     data_axis: str = "data"

@@ -40,7 +40,15 @@ class MALModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        self.encoder = ResnetEncoderMatching(
+        # --set remat=true: jax.checkpoint the encoder trunks — the backward
+        # recomputes their activations instead of storing them (peak-HBM
+        # knob; numerically exact, ~cost of a second forward over the
+        # trunks). Param trees are unchanged (lifted transform).
+        MatchEnc, Enc = ResnetEncoderMatching, ResnetEncoder
+        if cfg.remat:
+            MatchEnc = nn.remat(ResnetEncoderMatching, static_argnums=(8,))
+            Enc = nn.remat(ResnetEncoder, static_argnums=(2,))
+        self.encoder = MatchEnc(
             num_layers=cfg.num_layers,
             num_depth_bins=cfg.num_depth_bins,
             depth_binning=cfg.depth_binning,
@@ -52,8 +60,8 @@ class MALModel(nn.Module):
             name="encoder",
         )
         self.depth = DepthDecoder(dtype=dtype, name="depth")
-        self.mono_encoder = ResnetEncoder(num_layers=18, dtype=dtype,
-                                          name="mono_encoder")
+        self.mono_encoder = Enc(num_layers=18, dtype=dtype,
+                                name="mono_encoder")
         self.mono_depth = DepthDecoder(dtype=dtype, name="mono_depth")
         if cfg.pose_cnn:
             # pair-input PoseCNN (the reference's pose_cnn branch is vestigial
@@ -62,8 +70,8 @@ class MALModel(nn.Module):
             self.pose_encoder = PoseCNN(num_input_frames=2, name="pose_encoder")
             self.pose = None
         else:
-            self.pose_encoder = ResnetEncoder(num_layers=18, num_input_images=2,
-                                              dtype=dtype, name="pose_encoder")
+            self.pose_encoder = Enc(num_layers=18, num_input_images=2,
+                                    dtype=dtype, name="pose_encoder")
             self.pose = PoseDecoder(num_frames_to_predict_for=2, dtype=dtype,
                                     name="pose")
 
@@ -74,7 +82,7 @@ class MALModel(nn.Module):
         if self.cfg.pose_cnn:
             axisangle, translation = self.pose_encoder(stacked)
         else:
-            feats = self.pose_encoder(stacked, train=train)
+            feats = self.pose_encoder(stacked, train)
             axisangle, translation = self.pose(feats[-1])
         return axisangle[:, 0, 0], translation[:, 0, 0]  # (B, 3) each
 
@@ -158,7 +166,7 @@ class MALModel(nn.Module):
         outputs["augmentation_mask"] = aug_mask[:, None, None, None]
 
         # --- teacher (mono) path ---
-        mono_feats = self.mono_encoder(aug["0"], train=train and train_teacher)
+        mono_feats = self.mono_encoder(aug["0"], train and train_teacher)
         mono_disp = self.mono_depth(mono_feats)
         if not train_teacher:
             mono_disp = jax.lax.stop_gradient(mono_disp)
@@ -169,7 +177,7 @@ class MALModel(nn.Module):
         inv_K2 = jnp.linalg.inv(K2)
         features, lowest_cost, confidence_mask = self.encoder(
             aug["0"], lookup_frames, relative_poses, K2, inv_K2,
-            min_depth_bin, max_depth_bin, train=train)
+            min_depth_bin, max_depth_bin, train)
         outputs["disp"] = self.depth(features)
 
         H, W = cfg.height, cfg.width
@@ -214,10 +222,10 @@ class MALModel(nn.Module):
         inv_K2 = jnp.linalg.inv(K2)
         features, lowest_cost, confidence = self.encoder(
             color["0"], lookup_frames, poses, K2, inv_K2,
-            min_depth_bin, max_depth_bin, train=False)
+            min_depth_bin, max_depth_bin, False)
         disp = self.depth(features)
 
-        mono_feats = self.mono_encoder(color["0"], train=False)
+        mono_feats = self.mono_encoder(color["0"], False)
         mono_disp = self.mono_depth(mono_feats)
         return {"disp": disp, "mono_disp": mono_disp,
                 "lowest_cost": lowest_cost, "consistency_mask": confidence}

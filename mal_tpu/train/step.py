@@ -138,6 +138,33 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
             cfg.ins_threshold)
         return [syn_l, syn_n]
 
+    def _mono_call(rng_noise, disp, color0, warped, identity, syn):
+        return losses.mono_losses(
+            rng_noise, disp, color0, warped, identity, syn=syn,
+            smoothness_weight=cfg.disparity_smoothness,
+            reproj_fn=reproj_fn, avg_reprojection=cfg.avg_reprojection)
+
+    def _multi_call(disp, color0, warped, multi_depth, mono_depth_sg, cmask,
+                    aug_mask, mono_min_reproj, syn, ens_reproj, dual_mono):
+        return losses.multi_losses(
+            disp, color0, warped, multi_depth, mono_depth_sg, cmask,
+            aug_mask, mono_min_reproj, syn=syn,
+            ensemble_min_reproj=ens_reproj,
+            dual_distil_mono_depth=dual_mono,
+            smoothness_weight=cfg.disparity_smoothness,
+            reproj_fn=reproj_fn, avg_reprojection=cfg.avg_reprojection)
+
+    if cfg.remat:
+        # --set remat=true: rematerialize the loss pyramids. The mono/multi
+        # loss assemblies hold the largest full-res intermediates of the
+        # step (per-frame SSIM statistic maps, automask stacks, distil
+        # min/argmin composites — benchmarks/PROFILE.md); checkpointing them
+        # recomputes those maps in the backward instead of storing them,
+        # trading a second pass over already-bandwidth-cheap elementwise ops
+        # for peak-HBM headroom (larger batches / longer schedules).
+        _mono_call = jax.checkpoint(_mono_call)
+        _multi_call = jax.checkpoint(_multi_call)
+
     def loss_fn(params, batch_stats, min_d, max_d, balancer, batch: dict,
                 rng_model: Array, rng_noise: Array, epoch: Array,
                 seg_variables=None):
@@ -181,12 +208,8 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         mono_syn = (temporal_syn(batch, mono_warped, seg_variables,
                                  inst_cur)
                     if cfg.temporal else ())
-        mono_out = losses.mono_losses(
-            rng_noise, outputs["mono_disp"], color0, mono_warped,
-            identity, syn=mono_syn,
-            smoothness_weight=cfg.disparity_smoothness,
-            reproj_fn=reproj_fn,
-            avg_reprojection=cfg.avg_reprojection)
+        mono_out = _mono_call(rng_noise, outputs["mono_disp"], color0,
+                              mono_warped, identity, mono_syn)
 
         # --- student ---
         mono_depth_sg = jax.lax.stop_gradient(mono_depth)
@@ -202,17 +225,11 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         multi_syn = (temporal_syn(batch, multi_warped, seg_variables,
                                   inst_cur)
                      if cfg.main_temporal else ())
-        multi_out = losses.multi_losses(
+        multi_out = _multi_call(
             outputs["disp"], color0, multi_warped, multi_depth,
             mono_depth_sg, cmask, outputs["augmentation_mask"],
-            jax.lax.stop_gradient(mono_out.min_reproj),
-            syn=multi_syn,
-            ensemble_min_reproj=ens_reproj,
-            dual_distil_mono_depth=mono_depth if cfg.dual_distil else None,
-            smoothness_weight=cfg.disparity_smoothness,
-            reproj_fn=reproj_fn,
-            avg_reprojection=cfg.avg_reprojection,
-        )
+            jax.lax.stop_gradient(mono_out.min_reproj), multi_syn,
+            ens_reproj, mono_depth if cfg.dual_distil else None)
 
         # --- total loss (`trainer.py:624-642`) ---
         ori_loss = multi_out.loss

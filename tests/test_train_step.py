@@ -145,3 +145,22 @@ def test_no_ssim_pure_l1(setup):
     assert np.isfinite(float(metrics["loss"]))
     _, m_def = step_fn(state, batch, jax.random.PRNGKey(4), jnp.zeros(()))
     assert float(metrics["loss"]) != float(m_def["loss"])
+
+
+def test_remat_is_numerically_identical(setup):
+    """--set remat=true (jax.checkpoint on the loss pyramids) must be an
+    exact program transform: same loss, same gradients, same new params."""
+    cfg, model, batch, state, step_fn = setup
+    cfg_r = cfg.replace(remat=True)
+    model_r = MALModel(cfg_r)  # nn.remat'd encoders — same param tree
+    tx = make_optimizer(cfg_r)
+    step_r = jax.jit(make_train_step(cfg_r, model_r, tx))
+
+    rng = jax.random.PRNGKey(1)
+    s1, m1 = step_fn(state, batch, rng, jnp.zeros(()))
+    s1r, m1r = step_r(state, batch, rng, jnp.zeros(()))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m1r["loss"]),
+                               rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s1r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -137,7 +137,7 @@ def cmd_train(args):
         try:
             steps_per_epoch = len(loader)
         except TypeError:
-            steps_per_epoch = 0
+            steps_per_epoch = cfg.steps_per_epoch
         if steps_per_epoch:
             # continue from the interrupted epoch so epoch-keyed schedules
             # (loss_blc annealing, freeze epochs, save_frequency) line up

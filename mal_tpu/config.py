@@ -122,8 +122,10 @@ class Config:
     remat: bool = False              # jax.checkpoint the loss pyramids
 
     # --- parallelism ---
-    data_axis: str = "data"
-    num_data_shards: int = 1
+    # data-axis width of the mesh; 0 = all remaining devices (the mesh axis
+    # names "data"/"depth" are mal_tpu's internal contract — the in-model
+    # sharding constraints in ops/cost_volume.py name them)
+    num_data_shards: int = 0
     # >1: 2-D (data x depth) mesh; the cost volume's 96-plane axis shards
     # over the "depth" axis (SURVEY.md §5 — this domain's sequence
     # parallelism). Requires num_data_shards * num_depth_shards devices.

@@ -124,6 +124,11 @@ class DEQDepthPose(nn.Module):
         self.hidden = _FeatHead(self.hidden_dim, name="hidden")
         self.update_block = SmallUpdateBlock(
             input_dim=self.context_dim, hidden_dim=self.hidden_dim,
+            # --disable_wnorm drops the weight-norm reparameterization
+            # (`depth_pose.py:66` _wnorm); --disable_evolving_pose_weight
+            # drops the per-iteration pose-weight head (`update.py:136-141`)
+            use_wnorm=not cfg.disable_wnorm,
+            evolving_pose_weight=not cfg.disable_evolving_pose_weight,
             name="update_block")
         self.reproject = Reprojections(
             corr_radius=cfg.corr_radius, num_levels=cfg.corr_levels,
@@ -218,10 +223,16 @@ class DEQDepthPose(nn.Module):
 
         # uncertainty weights for the GN pose update (`utils.py:291-298`);
         # ONE call on the 2B concat: the head has BatchNorm and the
-        # reference splits after (`compute_uncertainty`, feats 2B)
-        w2b = self.pose_weights(taps["stem2"], train=train)
-        src_w = 1.0 / (1.0 + w2b[:B])
-        tgt_w = 1.0 / (1.0 + w2b[B:])
+        # reference splits after (`compute_uncertainty`, feats 2B).
+        # --disable_fixed_pose_weight: all-ones weights, head unused
+        # (`utils.py:296-298`)
+        if cfg.disable_fixed_pose_weight:
+            hw = taps["stem2"].shape[1:3]
+            src_w = tgt_w = jnp.ones((B, *hw, 1), jnp.float32)
+        else:
+            w2b = self.pose_weights(taps["stem2"], train=train)
+            src_w = 1.0 / (1.0 + w2b[:B])
+            tgt_w = 1.0 / (1.0 + w2b[B:])
 
         pose0 = self._initial_pose(im1, im2, invert, side, train, sides=sides)
 
@@ -238,11 +249,21 @@ class DEQDepthPose(nn.Module):
         def deq_func(state: DEQState) -> DEQState:
             c, max_dx, _ = self.reproject.depth2epipolarcoords(
                 state.pose, state.depth, K2)
-            corr = epipolar_cost(fmap1, f2_pyramid, c, cfg.corr_levels)
+            # --num_cost_volume_head splits the feature channels into H
+            # per-head cost volumes (`depth_pose.py:435`, `corr.py`)
+            corr = epipolar_cost(fmap1, f2_pyramid, c, cfg.corr_levels,
+                                 num_head=cfg.num_cost_volume_head)
             net, delta = self.update_block(state.net, inp, corr, state.depth)
             new_depth = jnp.clip(state.depth + jnp.tanh(delta) * max_dx,
                                  cfg.min_depth, cfg.max_depth)
-            weight = self.update_block.pose_weight(net)
+
+            # --disable_pose_updates freezes the pose at its pose-net value
+            # (`depth_pose.py:450-455`: the GN refinement never runs)
+            if cfg.disable_pose_updates:
+                return DEQState(net, new_depth, state.pose,
+                                jnp.zeros((B,)))
+            weight = (None if cfg.disable_evolving_pose_weight
+                      else self.update_block.pose_weight(net))
 
             pose, upd = state.pose, jnp.zeros((B, 6))
             for _ in range(cfg.num_pose_iter):
@@ -409,7 +430,17 @@ class DEQDepthPose(nn.Module):
                     continue
                 steps_out = []
                 for _ in range(cfg.phantom_grad_steps):
-                    z = deq_func(z)
+                    z_new = deq_func(z)
+                    if cfg.deq_tau != 1.0:
+                        # --tau damping on the fixed-point vector only
+                        # (deq lib backward_factory: z <- (1-tau) z + tau
+                        # f(z); the pose is module state, not damped)
+                        t = cfg.deq_tau
+                        z_new = DEQState(
+                            (1 - t) * z.net + t * z_new.net,
+                            (1 - t) * z.depth + t * z_new.depth,
+                            z_new.pose, z_new.upd_norm)
+                    z = z_new
                     steps_out.append(z)
                 phantom_pose = z.pose
                 # `--sup_all`: every phantom step is supervised, not only
@@ -437,8 +468,13 @@ class DEQDepthPose(nn.Module):
             mask_state = (DEQState(net0, depth0, pose_star,
                                    state_star.upd_norm)
                           if train else state_star)
+            # --Pose_for_consistency_mask: which pose sweeps the epipolar
+            # bins — "Tstar" (refined, default) or "T0" (pose-net initial)
+            # (`depth_pose.py:553-556,614-617`)
+            mask_pose = (pose_star if cfg.pose_for_consistency_mask == "Tstar"
+                         else pose0)
             mask = self._consistency_mask(
-                mask_state, pose_star, fmap1, f2_pyramid, K2)
+                mask_state, mask_pose, fmap1, f2_pyramid, K2)
             outputs["consistency_mask"] = mask
         if combine_via_mask and not train:
             m = mask.astype(outputs["disp_2_1"].dtype)

@@ -166,23 +166,28 @@ def make_dualref_loss_fn(cfg: Config, model) -> Callable:
         total = total / NUM_SCALES
 
         # --- pose-update loss: T* with the REFINED depth, with gradients
-        # (`Tstar_D0_pair` default off; `trainer.py:699-767`) ---
-        _, depth_p = geometry.disp_to_depth(
-            out[f"disp_0_{n_losses}"] if f"disp_0_{n_losses}" in out
-            else out["disp_0_0"], cfg.min_depth, cfg.max_depth)
-        warped_p = warp_frame_center(colorm1, depth_p, pose_star, K, inv_K)
-        r_p = losses.reprojection_loss(warped_p, color0)
-        if use_p1:
-            # frame +1's pred in the pose-update loss is the (scale 0,
-            # iter 0) warp (`trainer.py:715`: outputs[("color", f, 0, 0)])
-            r_p = jnp.minimum(
-                r_p, losses.reprojection_loss(
-                    warp_p1(state_depths[(0, 0)], 0), color0))
-        noise = jax.random.normal(jax.random.fold_in(rng_noise, 99),
-                                  ident_map.shape) * 1e-5
-        m_p = losses.automask(r_p, ident_map + noise)
-        pose_loss = jnp.sum(r_p * m_p) / (jnp.sum(m_p) + 1e-7)
-        total = total + pose_loss
+        # (`Tstar_D0_pair` default off; `trainer.py:699-767`). Skipped
+        # entirely under --disable_pose_updates (`trainer.py:334-340`) ---
+        if cfg.disable_pose_updates:
+            pose_loss = jnp.zeros(())
+        else:
+            _, depth_p = geometry.disp_to_depth(
+                out[f"disp_0_{n_losses}"] if f"disp_0_{n_losses}" in out
+                else out["disp_0_0"], cfg.min_depth, cfg.max_depth)
+            warped_p = warp_frame_center(colorm1, depth_p, pose_star, K,
+                                         inv_K)
+            r_p = losses.reprojection_loss(warped_p, color0)
+            if use_p1:
+                # frame +1's pred in the pose-update loss is the (scale 0,
+                # iter 0) warp (`trainer.py:715`: outputs[("color", f, 0, 0)])
+                r_p = jnp.minimum(
+                    r_p, losses.reprojection_loss(
+                        warp_p1(state_depths[(0, 0)], 0), color0))
+            noise = jax.random.normal(jax.random.fold_in(rng_noise, 99),
+                                      ident_map.shape) * 1e-5
+            m_p = losses.automask(r_p, ident_map + noise)
+            pose_loss = jnp.sum(r_p * m_p) / (jnp.sum(m_p) + 1e-7)
+            total = total + pose_loss
 
         metrics["pose_loss"] = pose_loss
         metrics.setdefault("consistency_loss", jnp.zeros(()))

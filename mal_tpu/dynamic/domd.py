@@ -44,7 +44,12 @@ def domd_warp_inputs(cfg: Config, batch: dict, teacher_disp: Array,
         img_w, _, _ = forward_warp(tgt, teacher_depth,
                                    jax.lax.stop_gradient(T), K3, upscale=3)
         out = jnp.where(doj_adj[..., None] == 1, 0.0, color_adj)
-        out = jnp.where(img_w > 0, img_w, out)
+        # --no_reproj_doj (`dynamicdepth/trainer.py:507-511,530-534`):
+        # blank the warped-object landing zone instead of infilling it with
+        # the reprojected object pixels (the lookup-frame branch below has
+        # no such gate in the reference)
+        out = jnp.where(img_w > 0,
+                        0.0 if cfg.no_reproj_doj else img_w, out)
         return jax.lax.stop_gradient(out)
 
     color_m1 = warp_into(T_0m1, batch["doj_mask-1"], batch["color"]["-1"])

@@ -95,17 +95,24 @@ def make_dynamic_loss_fn(cfg: Config, model,
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0, mono_warped,
                 mono_identity, smoothness_weight=cfg.disparity_smoothness,
-                selec_reproj=cfg.selec_reproj, reproj_maps=w_maps,
-                identity_maps=i_maps, smooth_color=tgt)
+                selec_reproj=cfg.selec_reproj,
+                disable_automasking=cfg.disable_automasking,
+                reproj_maps=w_maps, identity_maps=i_maps, smooth_color=tgt)
         else:
             mono_out = losses.mono_losses(
                 rng_noise, outputs["mono_disp"], color0, mono_warped,
                 mono_identity, smoothness_weight=cfg.disparity_smoothness,
-                selec_reproj=cfg.selec_reproj)
+                selec_reproj=cfg.selec_reproj,
+                disable_automasking=cfg.disable_automasking)
 
         mono_depth_sg = jax.lax.stop_gradient(mono_depth)
-        cmask = outputs["consistency_mask"] * losses.matching_mask(
-            mono_depth_sg, outputs["lowest_cost"])
+        if cfg.disable_motion_masking:
+            # --disable_motion_masking (`dynamicdepth/trainer.py:603,
+            # 1080-1082`): no confidence/matching gate on the multi loss
+            cmask = jnp.ones_like(outputs["consistency_mask"])
+        else:
+            cmask = outputs["consistency_mask"] * losses.matching_mask(
+                mono_depth_sg, outputs["lowest_cost"])
         if cfg.zero_img:
             mw_maps, tgt = losses.zero_img_reproj_sequence(tgt, multi_warped)
             # the multi pass recomputes identity losses (mutation is a
@@ -130,9 +137,14 @@ def make_dynamic_loss_fn(cfg: Config, model,
                 smoothness_weight=cfg.disparity_smoothness,
                 selec_reproj=cfg.selec_reproj)
 
+        # teacher-loss merge (`dynamicdepth/trainer.py:631-643`): --tempv2
+        # drops the mono losses from the total (the merge loop passes);
+        # --no_multi_loss REPLACES the multi losses with the mono ones
+        # (`losses[key] = val` instead of `+=`)
         total = multi_out.loss
-        if train_teacher:
-            total = total + mono_out.loss
+        if train_teacher and not cfg.tempv2:
+            total = mono_out.loss if cfg.no_multi_loss \
+                else total + mono_out.loss
         if cfg.distil:
             total = total + multi_out.distil_loss
         feat_l = jnp.zeros(())

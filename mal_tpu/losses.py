@@ -178,6 +178,7 @@ def mono_losses(
     reproj_fn=reprojection_loss,
     selec_reproj: bool = False,
     avg_reprojection: bool = False,
+    disable_automasking: bool = False,
     reproj_maps: Sequence[Array] | None = None,
     identity_maps: Sequence[Array] | None = None,
     smooth_color: Array | None = None,
@@ -201,15 +202,22 @@ def mono_losses(
     else:
         reproj_min = jnp.min(reproj_all, axis=-1, keepdims=True)
 
-    if identity_maps is None:
-        identity_maps = [reproj_fn(p, color) for p in identity]
-    ident = jnp.concatenate(list(identity_maps), -1)
-    if avg_reprojection:
-        ident_min = jnp.mean(ident, axis=-1, keepdims=True)
+    if disable_automasking:
+        # --disable_automasking: no identity reprojections; every pixel
+        # keeps the loss (`dynamicdepth/trainer.py:1030-1047,1067-1070`
+        # identity_reprojection_loss=None -> a ones mask)
+        mask = jnp.ones_like(reproj_min)
     else:
-        ident_min = jnp.min(ident, axis=-1, keepdims=True)
-    noise = jax.random.normal(rng, ident_min.shape, ident_min.dtype) * 1e-5
-    mask = automask(reproj_min, ident_min + noise)
+        if identity_maps is None:
+            identity_maps = [reproj_fn(p, color) for p in identity]
+        ident = jnp.concatenate(list(identity_maps), -1)
+        if avg_reprojection:
+            ident_min = jnp.mean(ident, axis=-1, keepdims=True)
+        else:
+            ident_min = jnp.min(ident, axis=-1, keepdims=True)
+        noise = jax.random.normal(rng, ident_min.shape,
+                                  ident_min.dtype) * 1e-5
+        mask = automask(reproj_min, ident_min + noise)
 
     reproj = jnp.sum(reproj_min * mask) / (jnp.sum(mask) + 1e-7)
     sm = normalized_smooth_loss(

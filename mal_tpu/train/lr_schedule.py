@@ -20,3 +20,21 @@ def warmup_step_schedule(init_lr: float = 1e-10, peak_lr: float = 1e-4,
         n_decays = jnp.floor(jnp.maximum(step, 0.0) / decay_steps)
         return warm * decay_scale ** n_decays
     return schedule
+
+
+def step_lr_schedule(peak_lr: float, step_size_epochs: int,
+                     steps_per_epoch: int,
+                     decay_scale: float = 0.1) -> optax.Schedule:
+    """torch `StepLR(optimizer, scheduler_step_size, 0.1)` stepped once per
+    epoch (`dualrefine/trainer.py:104-105,272`; manydepth `--step_lr`):
+    lr = peak * 0.1^floor(epoch / step_size)."""
+    if steps_per_epoch <= 0:
+        raise ValueError("step_lr_schedule needs steps_per_epoch > 0 "
+                         "(the trainer sets Config.steps_per_epoch from "
+                         "len(train_loader))")
+
+    def schedule(step):
+        epoch = jnp.floor(jnp.asarray(step, jnp.float32) / steps_per_epoch)
+        return peak_lr * decay_scale ** jnp.floor(
+            epoch / max(step_size_epochs, 1))
+    return schedule

@@ -133,8 +133,26 @@ def make_optimizer(cfg: Config,
                    freeze_backbone: bool = False) -> optax.GradientTransformation:
     """`freeze_backbone=True` (DualRefine freeze_teacher_epoch phase) trains
     only the refinement student; everything else is zeroed."""
-    schedule = warmup_step_schedule(cfg.init_lr, cfg.learning_rate,
-                                    cfg.warmup_steps, cfg.decay_steps)
+    if cfg.lr_scheduler == "step":
+        # torch StepLR per epoch (`dualrefine/trainer.py:104-105`,
+        # manydepth --step_lr); Trainer resolves steps_per_epoch from
+        # len(train_loader) when unset
+        from mal_tpu.train.lr_schedule import step_lr_schedule
+        schedule = step_lr_schedule(cfg.learning_rate,
+                                    cfg.scheduler_step_size,
+                                    cfg.steps_per_epoch)
+    elif cfg.lr_scheduler == "warmup_step":
+        schedule = warmup_step_schedule(cfg.init_lr, cfg.learning_rate,
+                                        cfg.warmup_steps, cfg.decay_steps)
+    else:
+        # --cos selects CosineAnnealingWarmupRestarts, whose import is
+        # absent from the reference snapshot (`manydepth/trainer.py:194`
+        # imports `lr_scheduler.CosineAnnealingWarmupRestarts`, not
+        # defined in its lr_scheduler.py) — broken upstream
+        raise NotImplementedError(
+            f"lr_scheduler={cfg.lr_scheduler!r}: only 'warmup_step' and "
+            "'step' exist ('cos' is broken in the reference snapshot — "
+            "the class it imports is missing)")
     chain = [sanitize_grads()]
     if getattr(cfg, "grad_clip_norm", 0.0):
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))

@@ -142,7 +142,8 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         return losses.mono_losses(
             rng_noise, disp, color0, warped, identity, syn=syn,
             smoothness_weight=cfg.disparity_smoothness,
-            reproj_fn=reproj_fn, avg_reprojection=cfg.avg_reprojection)
+            reproj_fn=reproj_fn, avg_reprojection=cfg.avg_reprojection,
+            disable_automasking=cfg.disable_automasking)
 
     def _multi_call(disp, color0, warped, multi_depth, mono_depth_sg, cmask,
                     aug_mask, mono_min_reproj, syn, ens_reproj, dual_mono):
@@ -213,8 +214,14 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
 
         # --- student ---
         mono_depth_sg = jax.lax.stop_gradient(mono_depth)
-        cmask = outputs["consistency_mask"] * losses.matching_mask(
-            mono_depth_sg, outputs["lowest_cost"])
+        if cfg.disable_motion_masking:
+            # --disable_motion_masking: neither the cost-volume confidence
+            # nor the matching mask gates the multi reprojection
+            # (`manydepth/trainer.py:1323-1327,1080-1082`)
+            cmask = jnp.ones_like(outputs["consistency_mask"])
+        else:
+            cmask = outputs["consistency_mask"] * losses.matching_mask(
+                mono_depth_sg, outputs["lowest_cost"])
 
         ens_reproj = None
         if use_ens:

@@ -77,6 +77,15 @@ class Trainer:
                  seed: int = 0,
                  seg_variables=None):
         assert cfg.height % 32 == 0 and cfg.width % 32 == 0
+        if cfg.lr_scheduler == "step" and cfg.steps_per_epoch == 0:
+            # the per-epoch StepLR schedule needs the epoch length in steps;
+            # resolve it from the loader (config.py steps_per_epoch doc)
+            try:
+                cfg = cfg.replace(steps_per_epoch=len(train_loader))
+            except TypeError:
+                raise ValueError(
+                    "lr_scheduler='step' with an unsized train_loader: set "
+                    "Config.steps_per_epoch explicitly") from None
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_batches = val_batches
@@ -149,9 +158,13 @@ class Trainer:
             self.mesh = make_global_mesh()
         elif cfg.num_depth_shards > 1:
             from mal_tpu.parallel.mesh import make_mesh_2d
-            n_data = ((num_devices or len(jax.devices()))
-                      // cfg.num_depth_shards)
+            # num_data_shards=0: every remaining device goes to the data axis
+            n_data = cfg.num_data_shards or (
+                (num_devices or len(jax.devices()))
+                // cfg.num_depth_shards)
             self.mesh = make_mesh_2d(n_data, cfg.num_depth_shards)
+        elif cfg.num_data_shards > 1:
+            self.mesh = make_mesh(cfg.num_data_shards)
         else:
             self.mesh = make_mesh(num_devices)
         if cfg.method == "dynamicdepth":

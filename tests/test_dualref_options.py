@@ -181,3 +181,64 @@ def test_robust_pose_loss_changes_pose_path():
                - np.asarray(out_robust["disp_2_1"]))
     assert np.isfinite(d).all()
     assert d.max() > 0
+
+
+def test_disable_flags_family():
+    """--disable_pose_updates / --disable_evolving_pose_weight /
+    --disable_fixed_pose_weight / --disable_wnorm / --tau
+    (`depth_pose.py:450-455`, `update.py:136-141`, `utils.py:291-298`,
+    `options.py`): forward runs, and each flag's structural footprint is
+    visible in the param tree."""
+    cfg = _tiny_cfg(disable_pose_updates=True,
+                    disable_evolving_pose_weight=True,
+                    disable_fixed_pose_weight=True,
+                    disable_wnorm=True,
+                    deq_tau=0.5, phantom_grad_steps=2)
+    out, variables = _run_forward(cfg, train=False)
+    assert np.isfinite(np.asarray(out["disp_2_1"])).all()
+    params = variables["params"]
+    # fixed pose-weight head unused -> not in the tree
+    assert "pose_weights" not in params
+    # evolving pose-weight head not built
+    ub = params["update_block"]
+    assert "weight_conv1" not in ub and "weight" not in ub
+    # wnorm off: WNConv has no g param
+    leaves = jax.tree_util.tree_leaves_with_path(ub)
+    assert not any("'g'" in str(p) for p, _ in leaves)
+
+    # default config DOES build all three
+    out2, v2 = _run_forward(_tiny_cfg(), train=False)
+    assert "pose_weights" in v2["params"]
+    leaves2 = jax.tree_util.tree_leaves_with_path(v2["params"]["update_block"])
+    assert any("'g'" in str(p) for p, _ in leaves2)
+
+
+def test_disable_pose_updates_freezes_pose():
+    """With --disable_pose_updates the returned refined pose equals the
+    pose-net initial pose (no GN refinement ever runs)."""
+    from mal_tpu.dualref.model import DEQDepthPose
+
+    cfg = _tiny_cfg(disable_pose_updates=True)
+    model = DEQDepthPose(cfg)
+    rng = jax.random.PRNGKey(0)
+    img1 = jax.random.uniform(rng, (1, 64, 96, 3))
+    img2 = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 96, 3))
+    K = jnp.eye(4)[None].at[0, 0, 0].set(60.0).at[0, 1, 1].set(60.0) \
+        .at[0, 0, 2].set(48.0).at[0, 1, 2].set(32.0)
+    variables = model.init(rng, img1, img2, K, invert=True, train=False)
+    _, poses = model.apply(variables, img1, img2, K, invert=True,
+                           train=False, mutable=False)
+    pose0, pose_star = poses
+    np.testing.assert_allclose(np.asarray(pose_star), np.asarray(pose0),
+                               rtol=0, atol=0)
+
+
+def test_num_cost_volume_head_changes_corr_width():
+    """--num_cost_volume_head=2 doubles the per-level cost channels feeding
+    the update block (`depth_pose.py:435`, `update.py:90`); the forward
+    runs and differs from 1-head."""
+    out1, _ = _run_forward(_tiny_cfg(), train=False)
+    out2, _ = _run_forward(_tiny_cfg(num_cost_volume_head=2), train=False)
+    a = np.asarray(out1["disp_2_1"]); b = np.asarray(out2["disp_2_1"])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0

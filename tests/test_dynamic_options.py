@@ -105,3 +105,96 @@ def test_train_teacher_only_freezes_student():
 
     assert moved("encoder") == 0.0 and moved("depth") == 0.0
     assert moved("mono_encoder") > 0.0
+
+def test_disable_automasking_unmasked_mean():
+    """--disable_automasking: no identity maps; the reprojection loss is the
+    plain mean of the per-pixel min map (`dynamicdepth/trainer.py:1030,
+    1067` identity=None -> ones mask)."""
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    B, H, W = 2, 8, 12
+    disp = jax.random.uniform(k1, (B, H, W, 1))
+    color = jax.random.uniform(k2, (B, H, W, 3))
+    warped = [jax.random.uniform(k3, (B, H, W, 3)),
+              jax.random.uniform(k4, (B, H, W, 3))]
+    identity = [color * 0.9, color * 1.1]
+
+    out = losses.mono_losses(rng, disp, color, warped, identity,
+                             disable_automasking=True)
+    expected = jnp.mean(jnp.min(jnp.concatenate(
+        [losses.reprojection_loss(p, color) for p in warped], -1),
+        axis=-1, keepdims=True))
+    np.testing.assert_allclose(float(out.reproj_loss), float(expected),
+                               rtol=1e-6)
+    # and it differs from the automasked loss
+    masked = losses.mono_losses(rng, disp, color, warped, identity)
+    assert float(out.reproj_loss) != float(masked.reproj_loss)
+
+
+def test_no_reproj_doj_blanks_landing_zone():
+    """--no_reproj_doj: the warped-object landing zone is blanked instead of
+    infilled (`dynamicdepth/trainer.py:507-511`) — wherever the two modes
+    differ, the flagged output is zero."""
+    from mal_tpu.dynamic.domd import domd_warp_inputs
+
+    rng = jax.random.PRNGKey(3)
+    ks = jax.random.split(rng, 8)
+    B, H, W = 2, 16, 24
+    batch = {
+        "color": {"0": jax.random.uniform(ks[0], (B, H, W, 3)) + 0.1,
+                  "-1": jax.random.uniform(ks[1], (B, H, W, 3)) + 0.1,
+                  "1": jax.random.uniform(ks[2], (B, H, W, 3)) + 0.1},
+        "color_aug": {"0": jax.random.uniform(ks[3], (B, H, W, 3)) + 0.1},
+        "K": jnp.broadcast_to(jnp.asarray(
+            [[W * 0.6, 0, W / 2, 0], [0, H * 1.2, H / 2, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32), (B, 4, 4)),
+        "doj_mask": (jax.random.uniform(ks[4], (B, H, W)) > 0.6).astype(
+            jnp.float32),
+        "doj_mask-1": (jax.random.uniform(ks[5], (B, H, W)) > 0.6).astype(
+            jnp.float32),
+        "doj_mask+1": (jax.random.uniform(ks[6], (B, H, W)) > 0.6).astype(
+            jnp.float32),
+    }
+    disp = jax.random.uniform(ks[7], (B, H, W, 1)) * 0.5 + 0.2
+    T = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 0, 3].set(0.05)
+    aug = jnp.zeros((B,))
+    lookup = batch["color"]["-1"][:, None]
+
+    cfg0 = Config(height=H, width=W, method="dynamicdepth")
+    cfg1 = cfg0.replace(no_reproj_doj=True)
+    m1_a, p1_a, _ = domd_warp_inputs(cfg0, batch, disp, T, T, aug, lookup)
+    m1_b, p1_b, _ = domd_warp_inputs(cfg1, batch, disp, T, T, aug, lookup)
+    for a, b in ((m1_a, m1_b), (p1_a, p1_b)):
+        diff = np.asarray(a != b)
+        assert diff.any()  # the warp landed somewhere
+        np.testing.assert_array_equal(np.asarray(b)[diff], 0.0)
+
+
+@pytest.mark.slow
+def test_tempv2_and_no_multi_loss_total_composition():
+    """--tempv2 drops the mono losses from the total; --no_multi_loss keeps
+    ONLY them (`dynamicdepth/trainer.py:631-643` merge loop). With distil
+    off and identical forward passes: base = tempv2 + no_multi."""
+    from mal_tpu.data.synthetic import synthetic_batch
+    from mal_tpu.dynamic.model import DynDepthModel
+    from mal_tpu.dynamic.step import make_dynamic_loss_fn
+    from mal_tpu.train.state import create_train_state
+
+    base = Config(height=64, width=96, num_depth_bins=16, batch_size=2,
+                  method="dynamicdepth", distil=False)
+    model = DynDepthModel(base)
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(base, rng, batch_size=2)
+    state = create_train_state(base, model, rng, batch)
+
+    def total(cfg):
+        fn = jax.jit(lambda p, bs: make_dynamic_loss_fn(cfg, model)(
+            p, bs, state.bins.min_depth, state.bins.max_depth, batch,
+            jax.random.PRNGKey(1), jax.random.PRNGKey(2))[0])
+        return float(fn(state.params, state.batch_stats))
+
+    t_base = total(base)
+    t_v2 = total(base.replace(tempv2=True))
+    t_mono = total(base.replace(no_multi_loss=True))
+    np.testing.assert_allclose(t_base, t_v2 + t_mono, rtol=1e-5)
+    assert t_v2 > 0 and t_mono > 0

@@ -1,0 +1,248 @@
+"""Fused Swin block kernels (frozen-eval forward).
+
+Builds on `ops/pallas/window_attention.py` (scores-stay-in-VMEM attention):
+these kernels additionally pull the LayerNorms, the qkv/proj projections,
+and the MLP into Pallas, eliminating the per-block window
+partition/reverse relayouts and the qkv / attn-out / MLP-hidden HBM
+round-trips that dominate the measured Swin stage times
+(benchmarks/PROFILE.md: the attention kernel itself is ~13 ms of the
+105 ms Swin-L backbone; the remaining ~92 ms is XLA Dense/LN/layout
+passes).
+
+Forward-only by design: MAL runs the segmenter frozen under stop-gradient
+(`manydepth/trainer.py:350-357`), and the reference itself evaluates it
+inside `acc.autocast()` (`manydepth/trainer.py:573`), so a reduced-traffic
+bf16-matmul forward is faithful to the reference's own execution.
+
+Kernel A — attention half. Grid cell = one (image, window-row, window-col)
+tile of the PRE-rolled/padded residual stream:
+
+    read (ws, ws, C) tile -> LayerNorm (fp32) -> qkv = y@Wqkv + b ->
+    per-head scores (+ relative-position bias + shift mask) -> softmax ->
+    @v -> proj -> write (ws, ws, C) tile.
+
+The only HBM traffic is one read + one write of the residual stream plus
+the per-window bias block; qkv, scores, and the attention output never
+leave VMEM. The window partition/reverse transposes disappear entirely —
+the BlockSpec index map IS the partition.
+
+Kernel B — MLP half, token-tiled:
+
+    read (T, C) tokens -> LayerNorm -> fc1 -> exact gelu -> fc2 ->
+    + residual -> write (T, C).
+
+Weight residency: weights are passed whole with a constant index map, so
+Mosaic keeps them VMEM-resident across grid steps. At bf16 compute the
+largest fused case (Swin-L stage 2, C=768, hidden 3072) fits the ~16 MB
+VMEM budget; C=1536 (stage 3) does not and callers must fall back to the
+unfused path (see `fusable()`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# flax.linen.LayerNorm default epsilon (the swin.py modules use default
+# args, so the kernels must match flax, not torch's 1e-5)
+LN_EPS = 1e-6
+
+_DOT = dict(preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+
+def _layernorm(x: Array, scale: Array, bias: Array) -> Array:
+    """fp32 LayerNorm over the last axis, flax epsilon."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                 bias_ref, wproj_ref, bproj_ref, out_ref, *, num_heads: int,
+                 compute_dtype):
+    ws_h, ws_w, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    N = ws_h * ws_w
+    h = num_heads
+    d = C // h
+    scale = float(d) ** -0.5
+
+    x = x_ref[0].reshape(N, C).astype(jnp.float32)
+    y = _layernorm(x, lns_ref[0].astype(jnp.float32),
+                   lnb_ref[0].astype(jnp.float32))
+    # the unfused path (and the torch reference, `backbone/swin.py` W-MSA
+    # forward) zero-pads AFTER norm1: padded tokens enter attention as
+    # zeros. LN runs in-kernel here, so zero them explicitly.
+    y = y * valid_ref[0].reshape(N, 1)
+
+    qkv = jax.lax.dot_general(
+        y.astype(compute_dtype), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
+    qkv = qkv + bqkv_ref[0].astype(jnp.float32)          # (N, 3C) fp32
+
+    # per-head attention: two small 2-D matmuls per head, scores (N, N)
+    # fp32 in VMEM only; output columns assembled head by head
+    outs = []
+    for i in range(h):
+        q = qkv[:, i * d:(i + 1) * d] * scale
+        k = qkv[:, C + i * d:C + (i + 1) * d]
+        v = qkv[:, 2 * C + i * d:2 * C + (i + 1) * d]
+        s = jax.lax.dot_general(
+            q.astype(compute_dtype), k.astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())), **_DOT)  # (N, N)
+        s = s + bias_ref[0, i]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        s = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            s.astype(compute_dtype), v.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())), **_DOT))  # (N, d)
+    attn = jnp.concatenate(outs, axis=1)                 # (N, C) fp32
+
+    out = jax.lax.dot_general(
+        attn.astype(compute_dtype), wproj_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
+    out = out + bproj_ref[0].astype(jnp.float32)
+    out_ref[0] = out.reshape(ws_h, ws_w, C).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_size", "num_heads", "compute_dtype",
+                              "interpret"))
+def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
+                    ln_bias: Array, wqkv: Array, bqkv: Array,
+                    bias_all: Array, wproj: Array, bproj: Array, *,
+                    window_size: int, num_heads: int,
+                    compute_dtype=jnp.float32,
+                    interpret: bool = False) -> Array:
+    """Fused LN1 + qkv + windowed attention + proj.
+
+    xr: (B, Hp, Wp, C) residual stream, already padded to window multiples
+        and rolled for shifted layers (one XLA copy pass).
+    valid: (Hp, Wp) fp32 — 1 where the token is real, 0 in the pad region,
+        rolled the same way as xr (post-LN zeroing matches the unfused
+        pad-after-norm1 semantics).
+    bias_all: (nm, h, N, N) fp32 — relative-position bias (+ shift mask),
+        one entry per in-image window position (nm = nHp*nWp) or nm=1 when
+        every window shares it. Window (i, j) reads entry (i*nWp+j) % nm.
+    Weights are flax Dense layout: wqkv (C, 3C), wproj (C, C).
+
+    Returns (B, Hp, Wp, C) fp32 attention output in rolled/padded space
+    (caller un-rolls, crops, and adds the residual — one XLA pass).
+    """
+    B, Hp, Wp, C = xr.shape
+    ws = window_size
+    assert Hp % ws == 0 and Wp % ws == 0, (Hp, Wp, ws)
+    nH, nW = Hp // ws, Wp // ws
+    N = ws * ws
+    nm = bias_all.shape[0]
+    assert bias_all.shape == (nm, num_heads, N, N), bias_all.shape
+    assert valid.shape == (Hp, Wp), valid.shape
+
+    wqkv = wqkv.astype(compute_dtype)
+    wproj = wproj.astype(compute_dtype)
+
+    tile = pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+                        memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda b, i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, i, j: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads,
+                          compute_dtype=compute_dtype),
+        grid=(B, nH, nW),
+        interpret=interpret,
+        in_specs=[
+            tile,
+            pl.BlockSpec((1, ws, ws), lambda b, i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            full(wqkv), vec(3 * C),
+            pl.BlockSpec((1, num_heads, N, N),
+                         lambda b, i, j: ((i * nW + j) % nm, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(wproj), vec(C),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), jnp.float32),
+    )(xr, valid[None].astype(jnp.float32), ln_scale.reshape(1, C),
+      ln_bias.reshape(1, C), wqkv, bqkv.reshape(1, 3 * C),
+      bias_all.astype(jnp.float32), wproj, bproj.reshape(1, C))
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, compute_dtype):
+    x = x_ref[:].astype(jnp.float32)                     # (T, C)
+    y = _layernorm(x, lns_ref[0].astype(jnp.float32),
+                   lnb_ref[0].astype(jnp.float32))
+    hid = jax.lax.dot_general(
+        y.astype(compute_dtype), w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
+    hid = hid + b1_ref[0].astype(jnp.float32)
+    hid = jax.nn.gelu(hid, approximate=False)            # torch exact erf
+    z = jax.lax.dot_general(
+        hid.astype(compute_dtype), w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
+    z = z + b2_ref[0].astype(jnp.float32)
+    out_ref[:] = (x + z).astype(out_ref.dtype)
+
+
+def _token_tile(n_tokens: int, target: int = 512) -> int:
+    """Largest divisor of n_tokens that is <= target (>= 1)."""
+    best = 1
+    for t in range(1, target + 1):
+        if n_tokens % t == 0:
+            best = t
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
+                   w1: Array, b1: Array, w2: Array, b2: Array, *,
+                   compute_dtype=jnp.float32,
+                   interpret: bool = False) -> Array:
+    """Fused LN2 + fc1 + exact-gelu + fc2 + residual.
+
+    x: (n_tokens, C) post-attention residual stream. Returns the block
+    output (n_tokens, C) fp32 (x + MLP(LN(x)))."""
+    n_tokens, C = x.shape
+    hidden = w1.shape[1]
+    T = _token_tile(n_tokens)
+
+    row = lambda a: pl.BlockSpec((T, a.shape[-1]), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda t: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    w1 = w1.astype(compute_dtype)
+    w2 = w2.astype(compute_dtype)
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, compute_dtype=compute_dtype),
+        grid=(n_tokens // T,),
+        interpret=interpret,
+        in_specs=[row(x), vec(C), vec(C), full(w1), vec(hidden),
+                  full(w2), vec(C)],
+        out_specs=row(x),
+        out_shape=jax.ShapeDtypeStruct((n_tokens, C), jnp.float32),
+    )(x, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
+      w1, b1.reshape(1, hidden), w2, b2.reshape(1, C))
+
+
+def fusable(dim: int, compute_dtype) -> bool:
+    """Static VMEM-budget gate: weights + activations of the fused kernels
+    must fit ~16 MB. At bf16 compute this admits Swin-L stages 0-2
+    (C <= 768); stage 3 (C=1536: Wqkv alone is 14 MB) and fp32 C=768
+    (Wqkv+Wproj+Wmlp ~19-28 MB) fall back to the unfused path."""
+    bytes_per = 2 if compute_dtype == jnp.bfloat16 else 4
+    # dominant resident: Wqkv (C x 3C) + Wproj (C x C) for kernel A,
+    # W1+W2 (2 x C x 4C) for kernel B
+    worst = max(4 * dim * dim, 8 * dim * dim) * bytes_per
+    return worst <= 10 * 1024 * 1024

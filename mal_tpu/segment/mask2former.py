@@ -53,6 +53,8 @@ class Mask2Former(nn.Module):
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
     bf16_backbone: bool = False  # bf16 Swin + pixel-decoder matmuls
                                  # (SwinTransformer / MSDeformAttnPixelDecoder)
+    fused_swin: bool = False     # whole-block Pallas Swin fusion (frozen
+                                 # eval forward — ops/pallas/swin_block.py)
     drop_path_rate: float = 0.3  # train-mode stochastic depth
                                  # (`mask2former/config.py:86`)
 
@@ -67,6 +69,7 @@ class Mask2Former(nn.Module):
         x = preprocess_images(images, self.bgr_input)
         feats = SwinTransformer(self.swin_size,
                                 bf16_compute=self.bf16_backbone,
+                                fused_block=self.fused_swin and not train,
                                 drop_path_rate=self.drop_path_rate,
                                 name="backbone")(x, train=train)
         mask_features, multi_scale = MSDeformAttnPixelDecoder(

@@ -118,17 +118,67 @@ class WindowAttention(nn.Module):
         return nn.Dense(C, dtype=dt, name="proj")(out).astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameter mirror of `nn.Dense` (same names, shapes, initializers)
+    for the fused-block path: creates the params without emitting the XLA
+    matmul, so `fused_block=True` keeps the checkpoint tree identical."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.linear.default_kernel_init, self.shape)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.shape[1],))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter mirror of `nn.LayerNorm` (the fused kernels apply the
+    normalization in-kernel with flax's epsilon)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """Parameter mirror of `WindowAttention` for the fused-block path."""
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams((self.dim, 3 * self.dim), name="qkv")()
+        rpb = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads))
+        proj = _DenseParams((self.dim, self.dim), name="proj")()
+        return qkv, rpb, proj
+
+
 class SwinBlock(nn.Module):
     """One Swin block with a *traced* shift flag so a whole stage can run
     under `nn.scan` (identical structure for W-MSA and SW-MSA blocks: the
     shift roll is by `flag * ws//2` and the additive attention mask is the
-    shift mask scaled by the flag — exact for both cases)."""
+    shift mask scaled by the flag — exact for both cases).
+
+    `fused_block=True` runs the whole block as two Pallas kernels
+    (LN1+qkv+attention+proj per window tile, LN2+MLP token-tiled —
+    `ops/pallas/swin_block.py`), eliminating the partition/reverse
+    relayouts and intermediate HBM round-trips. Forward-only (frozen
+    segmenter); parameter tree identical to the unfused path."""
     dim: int
     num_heads: int
     window_size: int
     mlp_ratio: float = 4.0
     compute_dtype: object = None
     train: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: Array, shift_flag: Array,
@@ -152,6 +202,50 @@ class SwinBlock(nn.Module):
         Wp = -(-W // ws) * ws
         shift = ws // 2 if min(Hp, Wp) > ws else 0
         roll = (-jnp.asarray(shift) * shift_flag).astype(jnp.int32)
+
+        if self.fused_block and not self.train:
+            from mal_tpu.ops.pallas.swin_block import (
+                swin_attn_fused, swin_mlp_fused)
+
+            # parameter mirrors — tree identical to the unfused branch
+            ln1_s, ln1_b = _LNParams(C, name="norm1")()
+            (qkv_k, qkv_b), rpb, (proj_k, proj_b) = _AttnParams(
+                self.dim, self.num_heads, ws, name="attn")()
+            ln2_s, ln2_b = _LNParams(C, name="norm2")()
+            hidden = int(C * self.mlp_ratio)
+            fc1_k, fc1_b = _DenseParams((C, hidden), name="mlp_fc1")()
+            fc2_k, fc2_b = _DenseParams((hidden, C), name="mlp_fc2")()
+
+            idx = jnp.asarray(relative_position_index(ws))
+            N = ws * ws
+            bias = rpb[idx.reshape(-1)].reshape(N, N, self.num_heads)
+            bias = bias.transpose(2, 0, 1)[None]            # (1, h, N, N)
+            if shift > 0:
+                mask = _shift_mask(Hp, Wp, ws, shift) * shift_flag
+                bias_all = bias + mask[:, None]             # (nm, h, N, N)
+            else:
+                bias_all = bias
+
+            xr = x
+            valid = jnp.ones((H, W), jnp.float32)
+            if (Hp, Wp) != (H, W):
+                xr = jnp.pad(xr, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+                valid = jnp.pad(valid, ((0, Hp - H), (0, Wp - W)))
+            xr = jnp.roll(xr, (roll, roll), axis=(1, 2))
+            valid = jnp.roll(valid, (roll, roll), axis=(0, 1))
+
+            cdt = self.compute_dtype or jnp.float32
+            interp = jax.default_backend() != "tpu"
+            attn = swin_attn_fused(
+                xr, valid, ln1_s, ln1_b, qkv_k, qkv_b, bias_all,
+                proj_k, proj_b, window_size=ws, num_heads=self.num_heads,
+                compute_dtype=cdt, interpret=interp)
+            y = jnp.roll(attn, (-roll, -roll), axis=(1, 2))[:, :H, :W]
+            x2 = x + y.astype(x.dtype)
+            out = swin_mlp_fused(
+                x2.reshape(-1, C), ln2_s, ln2_b, fc1_k, fc1_b, fc2_k,
+                fc2_b, compute_dtype=cdt, interpret=interp)
+            return out.reshape(B, H, W, C).astype(x.dtype)
 
         shortcut = x
         y = nn.LayerNorm(name="norm1")(x)
@@ -188,6 +282,7 @@ class SwinStage(nn.Module):
     depth: int
     compute_dtype: object = None
     train: bool = False
+    fused_block: bool = False
     drop_rates: tuple = ()   # per-block stochastic-depth probabilities
 
     @nn.compact
@@ -209,7 +304,7 @@ class SwinStage(nn.Module):
         y, _ = scanned(
             SwinBlock(self.dim, self.num_heads, self.window_size,
                       compute_dtype=self.compute_dtype, train=self.train,
-                      name="blocks"),
+                      fused_block=self.fused_block, name="blocks"),
             x, (flags, rates))
         return y
 
@@ -252,6 +347,9 @@ class SwinTransformer(nn.Module):
     """
     size: str = "large"
     bf16_compute: bool = False
+    fused_block: bool = False  # whole-block Pallas fusion (frozen eval;
+                               # ops/pallas/swin_block.py); applied per
+                               # stage where the weights fit VMEM
     drop_path_rate: float = 0.0  # reference trains Swin-L with 0.3
                                  # (`mask2former/config.py:86`), linspace-
                                  # scheduled over all blocks (`swin.py:584`)
@@ -272,8 +370,10 @@ class SwinTransformer(nn.Module):
         cdt = jnp.bfloat16 if self.bf16_compute else None
         block0 = 0
         for stage in range(4):
+            from mal_tpu.ops.pallas.swin_block import fusable
             y = SwinStage(dim, heads[stage], ws, depths[stage],
                           compute_dtype=cdt, train=train,
+                          fused_block=self.fused_block and fusable(dim, cdt),
                           drop_rates=tuple(
                               dpr[block0:block0 + depths[stage]]),
                           name=f"stage{stage}")(y)

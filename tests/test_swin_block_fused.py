@@ -1,0 +1,87 @@
+"""Fused Swin block kernels (`ops/pallas/swin_block.py`) vs the XLA path.
+
+The fused path must be numerically equivalent (fp32) to the unfused
+flax modules for every structural case: exact window fit, padding to
+window multiples, and shifted windows with the attention mask — and must
+create an IDENTICAL parameter tree so checkpoints are interchangeable.
+
+Runs in Pallas interpret mode on the CPU backend (SwinBlock auto-selects
+interpret off-TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mal_tpu.segment.swin import SwinBlock, SwinTransformer
+
+
+def _block_pair(dim=16, heads=4, ws=4):
+    fused = SwinBlock(dim, heads, ws, fused_block=True)
+    ref = SwinBlock(dim, heads, ws, fused_block=False)
+    return fused, ref
+
+
+def _init(mod, x, flag):
+    return mod.init(jax.random.PRNGKey(0), x, flag)
+
+
+@pytest.mark.parametrize("H,W,flag", [
+    (8, 12, 0.0),          # exact fit, W-MSA
+    (8, 12, 1.0),          # exact fit, shifted
+    (7, 10, 0.0),          # padded, W-MSA
+    (7, 10, 1.0),          # padded + shifted
+])
+def test_fused_block_matches_unfused(H, W, flag):
+    fused, ref = _block_pair()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 16))
+    params = _init(ref, x, jnp.asarray(flag))
+    out_ref = ref.apply(params, x, jnp.asarray(flag))
+    out_fused = fused.apply(params, x, jnp.asarray(flag))
+    np.testing.assert_allclose(out_fused, out_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_param_tree_identical():
+    """fused_block=True creates the exact same parameter tree (paths,
+    shapes, dtypes) as the unfused path — checkpoints interchangeable."""
+    fused, ref = _block_pair()
+    x = jnp.zeros((1, 8, 8, 16))
+    flag = jnp.asarray(0.0)
+    sf = jax.eval_shape(lambda: fused.init(jax.random.PRNGKey(0), x, flag))
+    sr = jax.eval_shape(lambda: ref.init(jax.random.PRNGKey(0), x, flag))
+    pf = jax.tree.map(lambda a: (a.shape, a.dtype), sf)
+    pr = jax.tree.map(lambda a: (a.shape, a.dtype), sr)
+    assert jax.tree_util.tree_structure(pf) == jax.tree_util.tree_structure(pr)
+    assert jax.tree.leaves(pf) == jax.tree.leaves(pr)
+
+
+def test_full_backbone_fused_matches_unfused():
+    """Whole SwinTransformer (scan over blocks, patch merging, stage
+    output norms) with fused blocks == unfused, same params."""
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 64, 3))
+    ref = SwinTransformer("tiny")
+    params = jax.jit(ref.init)(jax.random.PRNGKey(3), x)
+    out_ref = ref.apply(params, x)
+    out_fused = SwinTransformer("tiny", fused_block=True).apply(params, x)
+    assert set(out_ref) == set(out_fused)
+    for k in out_ref:
+        np.testing.assert_allclose(out_fused[k], out_ref[k],
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_fused_block_train_falls_back():
+    """fused_block is eval-only (forward-only kernels): train=True must
+    take the unfused path (droppath rng consumed, grads well-defined)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 12, 16))
+    flag = jnp.asarray(0.0)
+    ref = SwinBlock(16, 4, 4, train=True)
+    fused = SwinBlock(16, 4, 4, train=True, fused_block=True)
+    params = ref.init({"params": jax.random.PRNGKey(0),
+                       "droppath": jax.random.PRNGKey(5)}, x, flag,
+                      jnp.asarray(0.5))
+    a = ref.apply(params, x, flag, jnp.asarray(0.5),
+                  rngs={"droppath": jax.random.PRNGKey(7)})
+    b = fused.apply(params, x, flag, jnp.asarray(0.5),
+                    rngs={"droppath": jax.random.PRNGKey(7)})
+    np.testing.assert_allclose(a, b, rtol=1e-6)

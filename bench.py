@@ -90,7 +90,8 @@ def _temporal_seg_fn(cfg):
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
     model = Mask2Former(max_instances=cfg.max_instances,
-                        bf16_backbone=cfg.compute_dtype == "bfloat16")
+                        bf16_backbone=cfg.compute_dtype == "bfloat16",
+                        fused_swin=cfg.seg_fused_swin)
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     return make_seg_fn(model, None, cfg.max_instances), variables
@@ -106,7 +107,8 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
 
     model = Mask2Former(max_instances=cfg.max_instances,
-                        bf16_backbone=cfg.compute_dtype == "bfloat16")
+                        bf16_backbone=cfg.compute_dtype == "bfloat16",
+                        fused_swin=cfg.seg_fused_swin)
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     seg_fn = jax.jit(make_seg_fn(model, None, cfg.max_instances))

@@ -93,6 +93,10 @@ class Config:
                                   # temporal hint (`manydepth/options.py:
                                   # 299-302` default)
     max_instances: int = 8        # static-shape cap on instances per image
+    # whole-block Pallas Swin fusion for the frozen segmenter forward
+    # (ops/pallas/swin_block.py; eval-only, parameter-tree identical).
+    # Off until measured on chip (benchmarks/bench_swin_fused.py).
+    seg_fused_swin: bool = False
     # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss
     no_ssim: bool = False
     # --avg_reprojection: per-pixel mean over source frames instead of the

@@ -122,7 +122,8 @@ class Trainer:
             # bench_bf16_backbone.py); exact fp32 whenever compute_dtype is
             self.seg_model = Mask2Former(
                 max_instances=cfg.max_instances,
-                bf16_backbone=cfg.compute_dtype == "bfloat16")
+                bf16_backbone=cfg.compute_dtype == "bfloat16",
+                fused_swin=cfg.seg_fused_swin)
             if seg_variables is None:
                 # The reference always builds the segmenter from pretrained
                 # COCO weights (`manydepth/options.py:288-295`); an untrained

@@ -85,3 +85,21 @@ def test_fused_block_train_falls_back():
     b = fused.apply(params, x, flag, jnp.asarray(0.5),
                     rngs={"droppath": jax.random.PRNGKey(7)})
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_mask2former_fused_swin_end_to_end():
+    """Full Mask2Former (pixel decoder + predictor + instance inference)
+    with fused_swin=True matches the unfused model, same weights."""
+    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+
+    variables = Mask2Former(swin_size="tiny").init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    ref = make_seg_fn(Mask2Former(swin_size="tiny"), None, 4)(
+        variables, imgs)
+    fused = make_seg_fn(Mask2Former(swin_size="tiny", fused_swin=True),
+                        None, 4)(variables, imgs)
+    np.testing.assert_allclose(fused.scores, ref.scores, rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_array_equal(fused.classes, ref.classes)
+    assert float(jnp.mean(fused.masks != ref.masks)) < 1e-3

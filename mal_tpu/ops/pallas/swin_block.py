@@ -67,49 +67,57 @@ def _layernorm(x: Array, scale: Array, bias: Array) -> Array:
 def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                  bias_ref, wproj_ref, bproj_ref, out_ref, *, num_heads: int,
                  compute_dtype):
-    ws_h, ws_w, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    Bb, ws_h, ws_w, C = x_ref.shape
     N = ws_h * ws_w
     h = num_heads
     d = C // h
     scale = float(d) ** -0.5
 
-    x = x_ref[0].reshape(N, C).astype(jnp.float32)
+    # Bb images of the SAME window position share one LN/qkv/proj matmul
+    # (better MXU M-tiling than per-window M=144) and one bias block
+    x = x_ref[:].reshape(Bb * N, C).astype(jnp.float32)
     y = _layernorm(x, lns_ref[0].astype(jnp.float32),
                    lnb_ref[0].astype(jnp.float32))
     # the unfused path (and the torch reference, `backbone/swin.py` W-MSA
     # forward) zero-pads AFTER norm1: padded tokens enter attention as
     # zeros. LN runs in-kernel here, so zero them explicitly.
-    y = y * valid_ref[0].reshape(N, 1)
+    valid = valid_ref[0].reshape(1, N, 1)
+    y = (y.reshape(Bb, N, C) * valid).reshape(Bb * N, C)
 
     qkv = jax.lax.dot_general(
         y.astype(compute_dtype), wqkv_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
-    qkv = qkv + bqkv_ref[0].astype(jnp.float32)          # (N, 3C) fp32
+    qkv = qkv + bqkv_ref[0].astype(jnp.float32)          # (Bb*N, 3C) fp32
+    qkv = qkv.astype(compute_dtype)
 
-    # per-head attention: two small 2-D matmuls per head, scores (N, N)
-    # fp32 in VMEM only; output columns assembled head by head
-    outs = []
-    for i in range(h):
-        q = qkv[:, i * d:(i + 1) * d] * scale
-        k = qkv[:, C + i * d:C + (i + 1) * d]
-        v = qkv[:, 2 * C + i * d:2 * C + (i + 1) * d]
-        s = jax.lax.dot_general(
-            q.astype(compute_dtype), k.astype(compute_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())), **_DOT)  # (N, N)
-        s = s + bias_ref[0, i]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        s = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            s.astype(compute_dtype), v.astype(compute_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())), **_DOT))  # (N, d)
-    attn = jnp.concatenate(outs, axis=1)                 # (N, C) fp32
+    # per-(image, head) attention: two small 2-D matmuls each, scores
+    # (N, N) fp32 in VMEM only; output assembled image-row by head-column
+    rows = []
+    for b in range(Bb):
+        blk = qkv[b * N:(b + 1) * N]
+        outs = []
+        for i in range(h):
+            q = blk[:, i * d:(i + 1) * d]
+            k = blk[:, C + i * d:C + (i + 1) * d]
+            v = blk[:, 2 * C + i * d:2 * C + (i + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                **_DOT) * scale                          # (N, N) fp32
+            s = s + bias_ref[0, i]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            s = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                s.astype(compute_dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())), **_DOT))
+        rows.append(jnp.concatenate(outs, axis=1))       # (N, C) fp32
+    attn = jnp.concatenate(rows, axis=0)                 # (Bb*N, C)
 
     out = jax.lax.dot_general(
         attn.astype(compute_dtype), wproj_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
     out = out + bproj_ref[0].astype(jnp.float32)
-    out_ref[0] = out.reshape(ws_h, ws_w, C).astype(out_ref.dtype)
+    out_ref[:] = out.reshape(Bb, ws_h, ws_w, C).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -148,7 +156,16 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
     wqkv = wqkv.astype(compute_dtype)
     wproj = wproj.astype(compute_dtype)
 
-    tile = pl.BlockSpec((1, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+    # batch-block: images at the same window position share the bias and
+    # one big LN/qkv/proj matmul; Bb*N rows fill MXU M-tiles (a single
+    # window is M=144, 56% of two 128-tiles). Caps keep VMEM and the
+    # unrolled per-(image, head) loop bounded.
+    Bb = 1
+    for cand in range(1, B + 1):
+        if B % cand == 0 and cand * N <= 1152 and cand * num_heads <= 96:
+            Bb = cand
+
+    tile = pl.BlockSpec((Bb, ws, ws, C), lambda b, i, j: (b, i, j, 0),
                         memory_space=pltpu.VMEM)
     vec = lambda n: pl.BlockSpec((1, n), lambda b, i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -157,7 +174,7 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
     return pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads,
                           compute_dtype=compute_dtype),
-        grid=(B, nH, nW),
+        grid=(B // Bb, nH, nW),
         interpret=interpret,
         in_specs=[
             tile,

@@ -87,11 +87,12 @@ def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
 def _temporal_seg_fn(cfg):
     """Frozen Mask2Former seg_fn + weights (random weights — the compute
     cost is weight-independent; real weights via convert_mask2former_pkl)."""
-    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+    from mal_tpu.segment.mask2former import (
+        Mask2Former, make_seg_fn, resolve_fused_swin)
 
     model = Mask2Former(max_instances=cfg.max_instances,
                         bf16_backbone=cfg.compute_dtype == "bfloat16",
-                        fused_swin=cfg.seg_fused_swin)
+                        fused_swin=resolve_fused_swin(cfg))
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     return make_seg_fn(model, None, cfg.max_instances), variables
@@ -104,11 +105,12 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     `manydepth/trainer.py:1161-1162`, `dyn_utils.py:125,148`), measured
     separately. Used when the combined step program exceeds the
     remote-compile upload limit."""
-    from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+    from mal_tpu.segment.mask2former import (
+        Mask2Former, make_seg_fn, resolve_fused_swin)
 
     model = Mask2Former(max_instances=cfg.max_instances,
                         bf16_backbone=cfg.compute_dtype == "bfloat16",
-                        fused_swin=cfg.seg_fused_swin)
+                        fused_swin=resolve_fused_swin(cfg))
     variables = model.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.height, cfg.width, 3)))
     seg_fn = jax.jit(make_seg_fn(model, None, cfg.max_instances))

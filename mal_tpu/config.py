@@ -95,8 +95,10 @@ class Config:
     max_instances: int = 8        # static-shape cap on instances per image
     # whole-block Pallas Swin fusion for the frozen segmenter forward
     # (ops/pallas/swin_block.py; eval-only, parameter-tree identical).
-    # Off until measured on chip (benchmarks/bench_swin_fused.py).
-    seg_fused_swin: bool = False
+    # None = auto: on for TPU fast mode, where it measured backbone
+    # 104.7 -> 63.5 ms (benchmarks/bench_swin_fused.py); off for exact
+    # fp32 and off-TPU backends (segment/mask2former.py:resolve_fused_swin)
+    seg_fused_swin: bool | None = None
     # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss
     no_ssim: bool = False
     # --avg_reprojection: per-pixel mean over source frames instead of the

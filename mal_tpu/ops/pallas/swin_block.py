@@ -64,10 +64,31 @@ def _layernorm(x: Array, scale: Array, bias: Array) -> Array:
     return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
 
 
+def _erf(x: Array) -> Array:
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 ~ fp32
+    eps). Mosaic has no erf/erfc primitive, so the exact-gelu erf is
+    rebuilt in-kernel from exp (supported)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    p = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+             + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - p * jnp.exp(-a * a))
+
+
+def _gelu_exact(x: Array) -> Array:
+    """torch nn.GELU / jax.nn.gelu(approximate=False) rebuilt on _erf."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
 def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                  bias_ref, wproj_ref, bproj_ref, out_ref, *, num_heads: int,
                  compute_dtype):
-    Bb, ws_h, ws_w, C = x_ref.shape
+    # x_ref: (Bb, 1, ws, 1, ws, C) — a window tile of the 6-D contiguous
+    # view (B, nH, ws, nW, ws, C); the last two block dims (ws, C) equal
+    # the array dims, satisfying Mosaic's block-mapping rule (ws=7/12 is
+    # not 8-divisible, so a (.., ws, ws, C) 4-D tile cannot lower).
+    Bb, _, ws_h, _, ws_w, C = x_ref.shape
     N = ws_h * ws_w
     h = num_heads
     d = C // h
@@ -75,14 +96,13 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     # Bb images of the SAME window position share one LN/qkv/proj matmul
     # (better MXU M-tiling than per-window M=144) and one bias block
-    x = x_ref[:].reshape(Bb * N, C).astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
     y = _layernorm(x, lns_ref[0].astype(jnp.float32),
                    lnb_ref[0].astype(jnp.float32))
     # the unfused path (and the torch reference, `backbone/swin.py` W-MSA
     # forward) zero-pads AFTER norm1: padded tokens enter attention as
     # zeros. LN runs in-kernel here, so zero them explicitly.
-    valid = valid_ref[0].reshape(1, N, 1)
-    y = (y.reshape(Bb, N, C) * valid).reshape(Bb * N, C)
+    y = (y * valid_ref[:]).reshape(Bb * N, C)
 
     qkv = jax.lax.dot_general(
         y.astype(compute_dtype), wqkv_ref[:],
@@ -117,7 +137,7 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         attn.astype(compute_dtype), wproj_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
     out = out + bproj_ref[0].astype(jnp.float32)
-    out_ref[:] = out.reshape(Bb, ws_h, ws_w, C).astype(out_ref.dtype)
+    out_ref[:] = out.reshape(Bb, 1, ws_h, 1, ws_w, C).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -158,27 +178,48 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
 
     # batch-block: images at the same window position share the bias and
     # one big LN/qkv/proj matmul; Bb*N rows fill MXU M-tiles (a single
-    # window is M=144, 56% of two 128-tiles). Caps keep VMEM and the
-    # unrolled per-(image, head) loop bounded.
+    # window is M=144, 56% of two 128-tiles). The VMEM byte model keeps the
+    # kernel under the ~16 MB/core budget (guide: VMEM ~16 MB): fp32
+    # intermediates (x, y, qkv=3C, attn, out, slack ~9 C-widths per token)
+    # scale with Bb; weights/bias/in-out tiles are resident (x2 for Mosaic
+    # double buffering). Mosaic's scoped-stack check measured 22.15 MB at
+    # stage-1 fp32 with the old token-count-only cap (Bb=6) and rejected it.
+    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    resident = 2 * (4 * C * C * wbytes + num_heads * N * N * 4)
+    per_img = N * C * (4 * 9) + N * 3 * C * wbytes
+    budget = 13 * 1024 * 1024
     Bb = 1
     for cand in range(1, B + 1):
-        if B % cand == 0 and cand * N <= 1152 and cand * num_heads <= 96:
+        if (B % cand == 0 and cand * N <= 1152 and cand * num_heads <= 96
+                and resident + cand * per_img <= budget):
             Bb = cand
 
-    tile = pl.BlockSpec((Bb, ws, ws, C), lambda b, i, j: (b, i, j, 0),
+    # 6-D contiguous views: (B, Hp, Wp, C) -> (B, nH, ws, nW, ws, C) is a
+    # free reshape (no data movement) and makes the tile's last two dims
+    # equal the array dims — the BlockSpec index map IS the partition.
+    x6 = xr.reshape(B, nH, ws, nW, ws, C)
+    # valid re-laid out to (nH, nW, ws, 1, ws, 1) so the in-kernel tile
+    # broadcasts directly against (Bb, 1, ws, 1, ws, C); it is a (Hp, Wp)
+    # scalar mask, so this transpose is negligible and happens once.
+    v6 = (valid.astype(jnp.float32).reshape(nH, ws, nW, ws)
+          .transpose(0, 2, 1, 3).reshape(nH, nW, ws, 1, ws, 1))
+
+    tile = pl.BlockSpec((Bb, 1, ws, 1, ws, C),
+                        lambda b, i, j: (b, i, 0, j, 0, 0),
                         memory_space=pltpu.VMEM)
     vec = lambda n: pl.BlockSpec((1, n), lambda b, i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, i, j: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads,
                           compute_dtype=compute_dtype),
         grid=(B // Bb, nH, nW),
         interpret=interpret,
         in_specs=[
             tile,
-            pl.BlockSpec((1, ws, ws), lambda b, i, j: (0, i, j),
+            pl.BlockSpec((1, 1, ws, 1, ws, 1),
+                         lambda b, i, j: (i, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(C), vec(C),
             full(wqkv), vec(3 * C),
@@ -188,10 +229,11 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
             full(wproj), vec(C),
         ],
         out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), jnp.float32),
-    )(xr, valid[None].astype(jnp.float32), ln_scale.reshape(1, C),
+        out_shape=jax.ShapeDtypeStruct((B, nH, ws, nW, ws, C), jnp.float32),
+    )(x6, v6, ln_scale.reshape(1, C),
       ln_bias.reshape(1, C), wqkv, bqkv.reshape(1, 3 * C),
       bias_all.astype(jnp.float32), wproj, bproj.reshape(1, C))
+    return out.reshape(B, Hp, Wp, C)
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -203,7 +245,7 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         y.astype(compute_dtype), w1_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
     hid = hid + b1_ref[0].astype(jnp.float32)
-    hid = jax.nn.gelu(hid, approximate=False)            # torch exact erf
+    hid = _gelu_exact(hid)                               # torch exact erf
     z = jax.lax.dot_general(
         hid.astype(compute_dtype), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
@@ -231,7 +273,14 @@ def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
     output (n_tokens, C) fp32 (x + MLP(LN(x)))."""
     n_tokens, C = x.shape
     hidden = w1.shape[1]
-    T = _token_tile(n_tokens)
+    # token-tile sized to the same ~13 MB VMEM budget as the attention
+    # kernel: weights are resident (x2 Mosaic buffering), per-token live
+    # bytes are the fp32 x/y/z/out (4C) + the gelu hidden (hidden)
+    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    resident = 2 * 2 * C * hidden * wbytes
+    per_tok = (4 * C + hidden) * 4 + (C + hidden) * wbytes
+    avail = 13 * 1024 * 1024 - resident
+    T = _token_tile(n_tokens, max(min(512, avail // per_tok), 8))
 
     row = lambda a: pl.BlockSpec((T, a.shape[-1]), lambda t: (t, 0),
                                  memory_space=pltpu.VMEM)
@@ -253,13 +302,20 @@ def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
       w1, b1.reshape(1, hidden), w2, b2.reshape(1, C))
 
 
-def fusable(dim: int, compute_dtype) -> bool:
-    """Static VMEM-budget gate: weights + activations of the fused kernels
-    must fit ~16 MB. At bf16 compute this admits Swin-L stages 0-2
-    (C <= 768); stage 3 (C=1536: Wqkv alone is 14 MB) and fp32 C=768
-    (Wqkv+Wproj+Wmlp ~19-28 MB) fall back to the unfused path."""
-    bytes_per = 2 if compute_dtype == jnp.bfloat16 else 4
-    # dominant resident: Wqkv (C x 3C) + Wproj (C x C) for kernel A,
-    # W1+W2 (2 x C x 4C) for kernel B
-    worst = max(4 * dim * dim, 8 * dim * dim) * bytes_per
-    return worst <= 10 * 1024 * 1024
+def fusable(dim: int, compute_dtype, window_size: int = 12) -> bool:
+    """Static VMEM-budget gate mirroring the byte model inside
+    `swin_attn_fused` (at Bb=1) and `swin_mlp_fused`. At bf16 compute this
+    admits Swin-L stages 0-1 (C <= 384); stage 2 (C=768: Wmlp alone is
+    9.4 MB bf16, double-buffered 19 MB) and stage 3 (C=1536) fall back to
+    the unfused path (which still uses the Pallas window-attention
+    kernel)."""
+    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    N = window_size * window_size
+    heads = max(dim // 32, 1)  # Swin-L: heads = C/32 at every stage
+    budget = 13 * 1024 * 1024
+    attn = (2 * (4 * dim * dim * wbytes + heads * N * N * 4)
+            + N * dim * 36 + N * 3 * dim * wbytes)
+    hidden = 4 * dim
+    mlp = (2 * 2 * dim * hidden * wbytes
+           + 8 * ((4 * dim + hidden) * 4 + (dim + hidden) * wbytes))
+    return attn <= budget and mlp <= budget

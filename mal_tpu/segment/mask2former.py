@@ -44,6 +44,22 @@ def preprocess_images(images: Array, bgr_input: bool = True) -> Array:
     return (images * 255.0 - _PIXEL_MEAN) / _PIXEL_STD
 
 
+def resolve_fused_swin(cfg) -> bool:
+    """Resolve `Config.seg_fused_swin` (None = auto) for the frozen
+    segmenter: on TPU in fast-training mode (bf16 trunks) the whole-block
+    Pallas Swin kernels measured backbone 104.7 -> 63.5 ms / seg_fn
+    148.8 -> 134.1 ms with 0.07% mask-bit deviation
+    (benchmarks/bench_swin_fused.py, HISTORY.md), so auto = on there; off
+    the TPU they run in slow interpret mode, and in exact fp32 mode the
+    unfused path stays reference-exact, so auto = off for both."""
+    if cfg.seg_fused_swin is not None:
+        return cfg.seg_fused_swin
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and cfg.compute_dtype == "bfloat16")
+
+
 class Mask2Former(nn.Module):
     num_classes: int = 80
     swin_size: str = "large"

@@ -115,7 +115,8 @@ class Trainer:
         doj_fn = None
         online_doj = cfg.method == "dynamicdepth" and cfg.online_doj
         if cfg.temporal or cfg.main_temporal or online_doj:
-            from mal_tpu.segment.mask2former import Mask2Former, make_seg_fn
+            from mal_tpu.segment.mask2former import (
+                Mask2Former, make_seg_fn, resolve_fused_swin)
             # fast-training mode (bf16 trunks) also runs the frozen Swin-L
             # matmuls in bf16: measured 1.17x on the seg forward with
             # boundary-pixel-only mask deviation (benchmarks/
@@ -123,7 +124,7 @@ class Trainer:
             self.seg_model = Mask2Former(
                 max_instances=cfg.max_instances,
                 bf16_backbone=cfg.compute_dtype == "bfloat16",
-                fused_swin=cfg.seg_fused_swin)
+                fused_swin=resolve_fused_swin(cfg))
             if seg_variables is None:
                 # The reference always builds the segmenter from pretrained
                 # COCO weights (`manydepth/options.py:288-295`); an untrained

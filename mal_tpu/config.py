@@ -96,7 +96,7 @@ class Config:
     # whole-block Pallas Swin fusion for the frozen segmenter forward
     # (ops/pallas/swin_block.py; eval-only, parameter-tree identical).
     # None = auto: on for TPU fast mode, where it measured backbone
-    # 104.7 -> 63.5 ms (benchmarks/bench_swin_fused.py); off for exact
+    # 78.8 -> 44.1 ms (benchmarks/bench_swin_fused.py); off for exact
     # fp32 and off-TPU backends (segment/mask2former.py:resolve_fused_swin)
     seg_fused_swin: bool | None = None
     # --no_ssim (`manydepth/trainer.py:318,1217`): pure-L1 photometric loss

@@ -31,11 +31,11 @@ Kernel B — MLP half, token-tiled:
     read (T, C) tokens -> LayerNorm -> fc1 -> exact gelu -> fc2 ->
     + residual -> write (T, C).
 
-Weight residency: weights are passed whole with a constant index map, so
-Mosaic keeps them VMEM-resident across grid steps. At bf16 compute the
-largest fused case (Swin-L stage 2, C=768, hidden 3072) fits the ~16 MB
-VMEM budget; C=1536 (stage 3) does not and callers must fall back to the
-unfused path (see `fusable()`).
+Weight residency: an innermost grid dimension streams the weights in
+head-group (attention) / hidden-group (MLP) blocks while the output tile
+accumulates in VMEM, so every Swin-L stage (C up to 1536) fits the
+~16 MB/core VMEM budget; the per-shape plans are chosen by a byte model
+(`_attn_plan`, `_mlp_plan`, gate `fusable()`).
 """
 
 from __future__ import annotations
@@ -82,16 +82,24 @@ def _gelu_exact(x: Array) -> Array:
 
 
 def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                 bias_ref, wproj_ref, bproj_ref, out_ref, *, num_heads: int,
-                 compute_dtype):
+                 bias_ref, wproj_ref, bproj_ref, out_ref, *,
+                 heads_per_group: int, compute_dtype):
     # x_ref: (Bb, 1, ws, 1, ws, C) — a window tile of the 6-D contiguous
     # view (B, nH, ws, nW, ws, C); the last two block dims (ws, C) equal
     # the array dims, satisfying Mosaic's block-mapping rule (ws=7/12 is
     # not 8-divisible, so a (.., ws, ws, C) 4-D tile cannot lower).
+    #
+    # Head-group blocking (innermost grid dim g): wqkv_ref is the group's
+    # (1, C, 3*Cg) packed column block, wproj_ref the matching (Cg, C) row
+    # block, bias_ref the group's heads; the (Bb*N, C) projection partial
+    # accumulates into out_ref across g (out index map is constant in g,
+    # so the tile stays resident in VMEM). G=1 degenerates to whole-weight
+    # fusion; G>1 admits Swin-L stages 2-3 (C>=768) under the VMEM budget.
     Bb, _, ws_h, _, ws_w, C = x_ref.shape
     N = ws_h * ws_w
-    h = num_heads
-    d = C // h
+    hg = heads_per_group
+    Cg = wproj_ref.shape[0]
+    d = Cg // hg
     scale = float(d) ** -0.5
 
     # Bb images of the SAME window position share one LN/qkv/proj matmul
@@ -105,9 +113,9 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     y = (y * valid_ref[:]).reshape(Bb * N, C)
 
     qkv = jax.lax.dot_general(
-        y.astype(compute_dtype), wqkv_ref[:],
+        y.astype(compute_dtype), wqkv_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
-    qkv = qkv + bqkv_ref[0].astype(jnp.float32)          # (Bb*N, 3C) fp32
+    qkv = qkv + bqkv_ref[0].astype(jnp.float32)          # (Bb*N, 3Cg) fp32
     qkv = qkv.astype(compute_dtype)
 
     # per-(image, head) attention: two small 2-D matmuls each, scores
@@ -116,10 +124,10 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     for b in range(Bb):
         blk = qkv[b * N:(b + 1) * N]
         outs = []
-        for i in range(h):
+        for i in range(hg):
             q = blk[:, i * d:(i + 1) * d]
-            k = blk[:, C + i * d:C + (i + 1) * d]
-            v = blk[:, 2 * C + i * d:2 * C + (i + 1) * d]
+            k = blk[:, Cg + i * d:Cg + (i + 1) * d]
+            v = blk[:, 2 * Cg + i * d:2 * Cg + (i + 1) * d]
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 **_DOT) * scale                          # (N, N) fp32
@@ -130,14 +138,24 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             outs.append(jax.lax.dot_general(
                 s.astype(compute_dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())), **_DOT))
-        rows.append(jnp.concatenate(outs, axis=1))       # (N, C) fp32
-    attn = jnp.concatenate(rows, axis=0)                 # (Bb*N, C)
+        rows.append(jnp.concatenate(outs, axis=1))       # (N, Cg) fp32
+    attn = jnp.concatenate(rows, axis=0)                 # (Bb*N, Cg)
 
-    out = jax.lax.dot_general(
+    part = jax.lax.dot_general(
         attn.astype(compute_dtype), wproj_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
-    out = out + bproj_ref[0].astype(jnp.float32)
-    out_ref[:] = out.reshape(Bb, 1, ws_h, 1, ws_w, C).astype(out_ref.dtype)
+    g = pl.program_id(3)
+
+    @pl.when(g == 0)
+    def _init():
+        first = part + bproj_ref[0].astype(jnp.float32)
+        out_ref[:] = first.reshape(Bb, 1, ws_h, 1, ws_w, C).astype(
+            out_ref.dtype)
+
+    @pl.when(g != 0)
+    def _accum():
+        out_ref[:] = out_ref[:] + part.reshape(
+            Bb, 1, ws_h, 1, ws_w, C).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -176,23 +194,34 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
     wqkv = wqkv.astype(compute_dtype)
     wproj = wproj.astype(compute_dtype)
 
-    # batch-block: images at the same window position share the bias and
-    # one big LN/qkv/proj matmul; Bb*N rows fill MXU M-tiles (a single
-    # window is M=144, 56% of two 128-tiles). The VMEM byte model keeps the
-    # kernel under the ~16 MB/core budget (guide: VMEM ~16 MB): fp32
-    # intermediates (x, y, qkv=3C, attn, out, slack ~9 C-widths per token)
-    # scale with Bb; weights/bias/in-out tiles are resident (x2 for Mosaic
-    # double buffering). Mosaic's scoped-stack check measured 22.15 MB at
-    # stage-1 fp32 with the old token-count-only cap (Bb=6) and rejected it.
-    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
-    resident = 2 * (4 * C * C * wbytes + num_heads * N * N * 4)
-    per_img = N * C * (4 * 9) + N * 3 * C * wbytes
-    budget = 13 * 1024 * 1024
-    Bb = 1
-    for cand in range(1, B + 1):
-        if (B % cand == 0 and cand * N <= 1152 and cand * num_heads <= 96
-                and resident + cand * per_img <= budget):
-            Bb = cand
+    # plan (G, Bb): G head-groups stream the weights in column/row blocks
+    # (innermost grid dim, output accumulated in VMEM); Bb images at the
+    # same window position share one LN/qkv/proj matmul (better MXU
+    # M-tiling than per-window M=144). The VMEM byte model keeps the kernel
+    # under the ~16 MB/core budget (guide: VMEM ~16 MB): fp32 intermediates
+    # scale with Bb, the group's weight/bias blocks are resident (x2 for
+    # Mosaic double buffering). Mosaic's scoped-stack check measured
+    # 22.15 MB at stage-1 fp32 with the old token-count-only cap and
+    # rejected it; G>1 is what admits stages 2-3 (C>=768) at all. Among
+    # feasible plans, minimize G/Bb (fewer weight re-streams per token).
+    G, Bb = _attn_plan(B, C, N, num_heads, compute_dtype)
+    if G is None:
+        raise ValueError(
+            f"no VMEM-feasible fusion plan for C={C}, heads={num_heads}")
+    hg = num_heads // G
+    Cg = C // G
+
+    # pack the qkv columns per head group: (C, 3C) -> (G, C, 3Cg) with the
+    # group's [q | k | v] column blocks contiguous (heads are column-major
+    # inside q/k/v, so a group's heads are one contiguous slice each)
+    wqkv_g = jnp.stack(
+        [jnp.concatenate([wqkv[:, s * C + g * Cg:s * C + (g + 1) * Cg]
+                          for s in range(3)], axis=1) for g in range(G)])
+    # (G, 1, 3Cg): the singleton second-minor dim keeps the block's
+    # last two dims equal to the array dims under Mosaic's mapping rule
+    bqkv_g = jnp.stack(
+        [jnp.concatenate([bqkv[s * C + g * Cg:s * C + (g + 1) * Cg]
+                          for s in range(3)]) for g in range(G)])[:, None]
 
     # 6-D contiguous views: (B, Hp, Wp, C) -> (B, nH, ws, nW, ws, C) is a
     # free reshape (no data movement) and makes the tile's last two dims
@@ -205,39 +234,74 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
           .transpose(0, 2, 1, 3).reshape(nH, nW, ws, 1, ws, 1))
 
     tile = pl.BlockSpec((Bb, 1, ws, 1, ws, C),
-                        lambda b, i, j: (b, i, 0, j, 0, 0),
+                        lambda b, i, j, g: (b, i, 0, j, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = lambda n: pl.BlockSpec((1, n), lambda b, i, j: (0, 0),
+    vec = lambda n: pl.BlockSpec((1, n), lambda b, i, j, g: (0, 0),
                                  memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda b, i, j: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, num_heads=num_heads,
+        functools.partial(_attn_kernel, heads_per_group=hg,
                           compute_dtype=compute_dtype),
-        grid=(B // Bb, nH, nW),
+        grid=(B // Bb, nH, nW, G),
         interpret=interpret,
         in_specs=[
             tile,
             pl.BlockSpec((1, 1, ws, 1, ws, 1),
-                         lambda b, i, j: (i, j, 0, 0, 0, 0),
+                         lambda b, i, j, g: (i, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(C), vec(C),
-            full(wqkv), vec(3 * C),
-            pl.BlockSpec((1, num_heads, N, N),
-                         lambda b, i, j: ((i * nW + j) % nm, 0, 0, 0),
+            pl.BlockSpec((1, C, 3 * Cg), lambda b, i, j, g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(wproj), vec(C),
+            pl.BlockSpec((1, 1, 3 * Cg), lambda b, i, j, g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hg, N, N),
+                         lambda b, i, j, g: ((i * nW + j) % nm, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cg, C), lambda b, i, j, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C),
         ],
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((B, nH, ws, nW, ws, C), jnp.float32),
     )(x6, v6, ln_scale.reshape(1, C),
-      ln_bias.reshape(1, C), wqkv, bqkv.reshape(1, 3 * C),
+      ln_bias.reshape(1, C), wqkv_g, bqkv_g,
       bias_all.astype(jnp.float32), wproj, bproj.reshape(1, C))
     return out.reshape(B, Hp, Wp, C)
 
 
+def _attn_plan(B: int, C: int, N: int, num_heads: int, compute_dtype,
+               budget: int = 13 * 1024 * 1024):
+    """(G, Bb) for `swin_attn_fused`, or (None, None) when nothing fits.
+
+    Byte model per grid cell: resident group blocks (qkv columns + proj
+    rows + group bias, x2 double buffering) + per-image fp32 intermediates
+    (x/y/out/in-out tiles ~7 C-widths, qkv/attn ~Cg-widths)."""
+    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    best = None
+    for G in range(1, num_heads + 1):
+        # Cg is the sublane dim of the (Cg, C) wproj row block: Mosaic
+        # requires 8-divisibility (the other group blocks' last two dims
+        # equal their array dims and are always legal)
+        if num_heads % G or C % G or (G > 1 and (C // G) % 8):
+            continue
+        Cg = C // G
+        hg = num_heads // G
+        resident = 2 * (3 * C * Cg * wbytes + Cg * C * wbytes
+                        + hg * N * N * 4)
+        per_img = N * C * (4 * 7) + N * Cg * (3 * (4 + wbytes) + 4)
+        for Bb in range(B, 0, -1):
+            if (B % Bb == 0 and Bb * N <= 1152 and Bb * hg <= 96
+                    and resident + Bb * per_img <= budget):
+                if best is None or G / Bb < best[0] / best[1]:
+                    best = (G, Bb)
+                break
+    return best if best is not None else (None, None)
+
+
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref, *, compute_dtype):
+    # hidden-group blocking (innermost grid dim g): gelu is elementwise
+    # over the hidden axis, so z = sum_g gelu(LN(x) @ W1[:, g]) @ W2[g, :]
+    # accumulates exactly; the residual + b2 are added once at g=0.
     x = x_ref[:].astype(jnp.float32)                     # (T, C)
     y = _layernorm(x, lns_ref[0].astype(jnp.float32),
                    lnb_ref[0].astype(jnp.float32))
@@ -249,8 +313,16 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     z = jax.lax.dot_general(
         hid.astype(compute_dtype), w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
-    z = z + b2_ref[0].astype(jnp.float32)
-    out_ref[:] = (x + z).astype(out_ref.dtype)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        out_ref[:] = (x + z + b2_ref[0].astype(jnp.float32)).astype(
+            out_ref.dtype)
+
+    @pl.when(g != 0)
+    def _accum():
+        out_ref[:] = out_ref[:] + z.astype(out_ref.dtype)
 
 
 def _token_tile(n_tokens: int, target: int = 512) -> int:
@@ -273,49 +345,73 @@ def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
     output (n_tokens, C) fp32 (x + MLP(LN(x)))."""
     n_tokens, C = x.shape
     hidden = w1.shape[1]
-    # token-tile sized to the same ~13 MB VMEM budget as the attention
-    # kernel: weights are resident (x2 Mosaic buffering), per-token live
-    # bytes are the fp32 x/y/z/out (4C) + the gelu hidden (hidden)
-    wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
-    resident = 2 * 2 * C * hidden * wbytes
-    per_tok = (4 * C + hidden) * 4 + (C + hidden) * wbytes
-    avail = 13 * 1024 * 1024 - resident
-    T = _token_tile(n_tokens, max(min(512, avail // per_tok), 8))
+    # plan (G, T): G hidden-groups stream W1 column / W2 row blocks
+    # (innermost grid dim, output accumulated in VMEM); token tile T sized
+    # to the same ~13 MB VMEM budget as the attention kernel. Prefer the
+    # largest T (fewest weight re-streams), then the smallest G.
+    G, T = _mlp_plan(n_tokens, C, hidden, compute_dtype)
+    if G is None:
+        raise ValueError(f"no VMEM-feasible MLP fusion plan for C={C}")
+    Hg = hidden // G
 
-    row = lambda a: pl.BlockSpec((T, a.shape[-1]), lambda t: (t, 0),
+    row = lambda a: pl.BlockSpec((T, a.shape[-1]), lambda t, g: (t, 0),
                                  memory_space=pltpu.VMEM)
-    vec = lambda n: pl.BlockSpec((1, n), lambda t: (0, 0),
+    vec = lambda n: pl.BlockSpec((1, n), lambda t, g: (0, 0),
                                  memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
     w1 = w1.astype(compute_dtype)
     w2 = w2.astype(compute_dtype)
     return pl.pallas_call(
         functools.partial(_mlp_kernel, compute_dtype=compute_dtype),
-        grid=(n_tokens // T,),
+        grid=(n_tokens // T, G),
         interpret=interpret,
-        in_specs=[row(x), vec(C), vec(C), full(w1), vec(hidden),
-                  full(w2), vec(C)],
+        in_specs=[
+            row(x), vec(C), vec(C),
+            pl.BlockSpec((C, Hg), lambda t, g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg), lambda t, g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hg, C), lambda t, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C),
+        ],
         out_specs=row(x),
         out_shape=jax.ShapeDtypeStruct((n_tokens, C), jnp.float32),
     )(x, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
       w1, b1.reshape(1, hidden), w2, b2.reshape(1, C))
 
 
-def fusable(dim: int, compute_dtype, window_size: int = 12) -> bool:
-    """Static VMEM-budget gate mirroring the byte model inside
-    `swin_attn_fused` (at Bb=1) and `swin_mlp_fused`. At bf16 compute this
-    admits Swin-L stages 0-1 (C <= 384); stage 2 (C=768: Wmlp alone is
-    9.4 MB bf16, double-buffered 19 MB) and stage 3 (C=1536) fall back to
-    the unfused path (which still uses the Pallas window-attention
-    kernel)."""
+def _mlp_plan(n_tokens: int, C: int, hidden: int, compute_dtype,
+              budget: int = 13 * 1024 * 1024):
+    """(G, T) for `swin_mlp_fused`, or (None, None) when nothing fits.
+
+    Byte model: resident W1/W2 group blocks (x2 double buffering) +
+    per-token fp32 x/y/z/out (4C) + the group's gelu hidden (Hg)."""
     wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    best = None
+    for G in range(1, 64 + 1):
+        # Hg is the lane dim of the (C, Hg) W1 column block / (1, Hg) b1
+        # block: Mosaic requires 128-divisibility or the full array dim
+        if hidden % G or (G > 1 and (hidden // G) % 128):
+            continue
+        Hg = hidden // G
+        resident = 2 * 2 * C * Hg * wbytes
+        per_tok = (4 * C + Hg) * 4 + (C + Hg) * wbytes
+        avail = budget - resident
+        if avail < 8 * per_tok:
+            continue
+        T = _token_tile(n_tokens, min(512, avail // per_tok))
+        if best is None or (T, -G) > (best[1], -best[0]):
+            best = (G, T)
+    return best if best is not None else (None, None)
+
+
+def fusable(dim: int, compute_dtype, window_size: int = 12) -> bool:
+    """Static VMEM-budget gate: True when both group-blocked kernels have
+    a feasible (G, ...) plan. With head/hidden-group weight streaming all
+    Swin-L stages (C up to 1536) are admitted; the gate remains for other
+    configs (tiny C with odd head counts, giant windows)."""
     N = window_size * window_size
     heads = max(dim // 32, 1)  # Swin-L: heads = C/32 at every stage
-    budget = 13 * 1024 * 1024
-    attn = (2 * (4 * dim * dim * wbytes + heads * N * N * 4)
-            + N * dim * 36 + N * 3 * dim * wbytes)
-    hidden = 4 * dim
-    mlp = (2 * 2 * dim * hidden * wbytes
-           + 8 * ((4 * dim + hidden) * 4 + (dim + hidden) * wbytes))
-    return attn <= budget and mlp <= budget
+    attn_g, _ = _attn_plan(1, dim, N, heads, compute_dtype)
+    mlp_g, _ = _mlp_plan(4096, dim, 4 * dim, compute_dtype)
+    return attn_g is not None and mlp_g is not None

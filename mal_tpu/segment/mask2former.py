@@ -47,8 +47,9 @@ def preprocess_images(images: Array, bgr_input: bool = True) -> Array:
 def resolve_fused_swin(cfg) -> bool:
     """Resolve `Config.seg_fused_swin` (None = auto) for the frozen
     segmenter: on TPU in fast-training mode (bf16 trunks) the whole-block
-    Pallas Swin kernels measured backbone 104.7 -> 63.5 ms / seg_fn
-    148.8 -> 134.1 ms with 0.07% mask-bit deviation
+    Pallas Swin kernels (group-blocked: all four Swin-L stages fuse)
+    measured backbone 78.8 -> 44.1 ms / seg_fn
+    148.9 -> 114.2 ms with 0.07% mask-bit deviation
     (benchmarks/bench_swin_fused.py, HISTORY.md), so auto = on there; off
     the TPU they run in slow interpret mode, and in exact fp32 mode the
     unfused path stays reference-exact, so auto = off for both."""

@@ -103,3 +103,24 @@ def test_mask2former_fused_swin_end_to_end():
                                atol=1e-5)
     np.testing.assert_array_equal(fused.classes, ref.classes)
     assert float(jnp.mean(fused.masks != ref.masks)) < 1e-3
+
+
+def test_group_blocked_plans_match_unfused():
+    """Stage-2-shaped block (C=768, 24 heads): the VMEM plans go
+    group-blocked (G>1 head groups / hidden groups with output
+    accumulation across the innermost grid dim) — must match the unfused
+    path exactly like the whole-weight G=1 case does."""
+    from mal_tpu.ops.pallas.swin_block import _attn_plan, _mlp_plan
+
+    G_attn, _ = _attn_plan(1, 768, 144, 24, jnp.float32)
+    G_mlp, _ = _mlp_plan(144, 768, 3072, jnp.float32)
+    assert G_attn > 1 and G_mlp > 1  # the point of the test
+
+    fused = SwinBlock(768, 24, 12, fused_block=True)
+    ref = SwinBlock(768, 24, 12, fused_block=False)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 12, 12, 768)) * 0.5
+    for flag in (0.0, 1.0):  # W-MSA and (degenerate-roll) shifted
+        params = _init(ref, x, jnp.asarray(flag))
+        out_ref = ref.apply(params, x, jnp.asarray(flag))
+        out_fused = fused.apply(params, x, jnp.asarray(flag))
+        np.testing.assert_allclose(out_fused, out_ref, rtol=3e-4, atol=3e-5)

@@ -27,13 +27,16 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 
 # persist compiled executables across runs (tests/conftest.py does the same
 # for pytest; without this every bench run pays full remote recompilation)
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_HERE, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -44,6 +47,161 @@ import jax.numpy as jnp
 # ratio from benchmarks/baseline_ref.py — see module docstring / BASELINE.md
 A100_BW, V5E_BW, V5P_BW = 2039.0, 819.0, 2765.0
 TORCH_OVER_JAX_SAME_SILICON = 33.06 / 32.91  # 1.004, measured round 3
+
+# ---------------------------------------------------------------------------
+# Robustness harness (parent/child). The axon TPU tunnel can go down or
+# STALL mid-run (a hung device op blocks the main thread inside a C call
+# where Python signals are never processed — round 3's end-of-round bench
+# died rc=124 with zero output that way; the stall mode is documented in
+# .claude/skills/verify/SKILL.md). Architecture:
+#   * parent (never touches jax, so it can't hang): spawns a child that
+#     does the measuring, watches the child's result file for progress,
+#     kills it on stall (no phase completed for MAL_BENCH_STALL_S) or
+#     budget exhaustion (MAL_BENCH_BUDGET_S), retries once if budget
+#     allows, and ALWAYS prints the one JSON line — on SIGTERM from the
+#     driver's `timeout` too (handler: kill child, emit, exit).
+#   * child (`bench.py --child <file>`): runs the measurement phases in
+#     order, rewriting <file> after EACH phase, skipping phases whose keys
+#     are already in <file> (so a retry resumes, not restarts).
+#   * if nothing was measured at all, the last committed good run is
+#     emitted, explicitly labeled "stale" — never presented as fresh.
+# ---------------------------------------------------------------------------
+_BUDGET_S = float(os.environ.get("MAL_BENCH_BUDGET_S", "1500"))
+_STALL_S = float(os.environ.get("MAL_BENCH_STALL_S", "600"))
+_T0 = time.monotonic()
+_LAST_GOOD = os.path.join(_HERE, "benchmarks", "last_bench.json")
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _read_json(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _emit(result: dict, note: str | None = None) -> None:
+    """Print the ONE JSON line from whatever has been measured; fall back
+    to the last committed good run, explicitly labeled stale."""
+    out = dict(result)
+    out.pop("_phase_done_at", None)
+    if "value" not in out:
+        out = _read_json(_LAST_GOOD)
+        if "value" in out:
+            out["stale"] = True
+            out["stale_reason"] = (note or "no fresh measurement") + \
+                f"; value from committed {os.path.relpath(_LAST_GOOD, _HERE)}"
+        else:
+            out = {"metric": "train_frames_per_sec_per_chip_640x192",
+                   "value": None, "unit": "frames/s", "vs_baseline": None,
+                   "error": note or "no measurement and no fallback"}
+    elif note:
+        out["partial"] = note
+    print(json.dumps(out), flush=True)
+
+
+def _probe_tpu() -> bool:
+    """True if a real device op completes in a killable subprocess.
+    `jax.devices()` can succeed while ops hang (observed tunnel-outage
+    mode), so the probe must run an actual computation."""
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((256, 256)); (x @ x).block_until_ready(); "
+            "print('PROBE_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=180, cwd=_HERE)
+        return "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_PHASE_KEYS = ("value", "fp32_fps", "temporal_fps", "temporal_cached_fps")
+
+
+def _parent() -> None:
+    import signal
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix="mal_bench_", suffix=".json")
+    os.close(fd)
+    _write_json(path, {})
+    child: subprocess.Popen | None = None
+
+    def _finish(note=None):
+        if child is not None and child.poll() is None:
+            child.kill()
+        result = _read_json(path)
+        # a COMPLETE run refreshes the committed last-good snapshot used
+        # as the labeled-stale fallback
+        if all(k in result for k in _PHASE_KEYS):
+            result.pop("_phase_done_at", None)
+            try:
+                _write_json(_LAST_GOOD, dict(result, measured_at=time.strftime(
+                    "%Y-%m-%d %H:%M UTC", time.gmtime())))
+            except OSError:
+                pass
+        _emit(result, note)
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    def _on_term(signum, frame):
+        _finish(f"killed by signal {signum} before all phases finished")
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # tunnel-down case: probe with retries while the budget allows
+    # (transient outages come back in minutes)
+    while not _probe_tpu():
+        if _remaining() < 300.0:
+            _finish("TPU unreachable at bench time (probe op never "
+                    "completed)")
+            return
+        print("# TPU probe failed; retrying in 60s "
+              f"(budget left {_remaining():.0f}s)", flush=True)
+        time.sleep(60.0)
+
+    attempts = 0
+    while _remaining() > 120.0 and attempts < 3:
+        attempts += 1
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", path],
+            cwd=_HERE)
+        last_progress = time.monotonic()
+        n_done = sum(k in _read_json(path) for k in _PHASE_KEYS)
+        while child.poll() is None:
+            time.sleep(5.0)
+            now_done = sum(k in _read_json(path) for k in _PHASE_KEYS)
+            if now_done > n_done:
+                n_done, last_progress = now_done, time.monotonic()
+            if (time.monotonic() - last_progress > _STALL_S
+                    or _remaining() < 30.0):
+                child.kill()
+                child.wait()
+                print(f"# bench child killed (stall/budget), "
+                      f"{n_done} phases done", flush=True)
+                break
+        if child.poll() is not None and child.returncode == 0:
+            break  # child finished all phases it attempted
+        if _remaining() < 300.0:
+            break
+        print(f"# retrying bench child (attempt {attempts + 1}), resuming "
+              f"after {n_done} phases", flush=True)
+    _finish()
 
 
 def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
@@ -128,69 +286,82 @@ def _derived_temporal_fps(cfg, fps_base: float) -> float:
     return cfg.batch_size / (t_step + 3.0 * t_seg)
 
 
-def main():
+def _child(path: str) -> None:
+    """Measurement phases in order, rewriting `path` after each (a parent
+    retry resumes from the phases already present)."""
     from mal_tpu.config import TRAIN_FAST_SETTINGS, Config
 
+    res = _read_json(path)
     base = Config(height=192, width=640, batch_size=12)
     fast = base.replace(**TRAIN_FAST_SETTINGS)
 
-    fps_fast = _measure(fast)
-    fps_fp32 = _measure(base)
+    if "value" not in res:
+        fps_fast = _measure(fast)
+        res.update({
+            "metric": "train_frames_per_sec_per_chip_640x192",
+            "value": round(fps_fast, 2), "unit": "frames/s",
+            "vs_baseline": None,
+            "v5p_projected_fps": round(fps_fast * (V5P_BW / V5E_BW), 1)})
+        _write_json(path, res)
+    fps_fast = res["value"]
 
-    temporal_fps = None
-    temporal_derived = False
-    try:
-        # the reference's headline MAL training command enables --temporal
-        # only (`/root/reference/README.md:22,25`: `--loss_blc --distil
-        # --temporal`); --main_temporal is an ablation flag it never
-        # headlines, so the temporal bench matches the published command
-        # (3 segmenter forwards/step: current + the two warped frames)
-        tcfg = fast.replace(temporal=True, main_temporal=False)
-        seg_fn, seg_vars = _temporal_seg_fn(tcfg)
-        temporal_fps = _measure(tcfg, seg_fn=seg_fn, seg_variables=seg_vars,
-                                n_iters=5)
-    except Exception as e:  # temporal bench must not sink the headline
-        print(f"# temporal step bench fell back to derived: "
-              f"{type(e).__name__}: {e}")
-        try:
-            temporal_fps = _derived_temporal_fps(fast, fps_fast)
-            temporal_derived = True
-        except Exception as e2:
-            print(f"# temporal bench skipped: {type(e2).__name__}: {e2}")
+    if "fp32_fps" not in res:
+        fps_fp32 = _measure(base)
+        # derived reference-A100 estimate (BASELINE.md): bandwidth-bound
+        # step, measured same-silicon framework parity
+        ref = fps_fp32 * (A100_BW / V5E_BW) * TORCH_OVER_JAX_SAME_SILICON
+        res.update({"fp32_fps": round(fps_fp32, 2),
+                    "ref_a100_est_fps": round(ref, 1),
+                    "vs_baseline": round(fps_fast / ref, 3)})
+        _write_json(path, res)
 
-    temporal_cached_fps = None
-    if temporal_fps is not None and not temporal_derived:
+    need_temporal = ("temporal_fps" not in res
+                     and "temporal_fps_derived" not in res)
+    need_cached = ("temporal_fps" in res
+                   and "temporal_cached_fps" not in res) or need_temporal
+    if not (need_temporal or need_cached):
+        return
+    # the reference's headline MAL training command enables --temporal
+    # only (`/root/reference/README.md:22,25`: `--loss_blc --distil
+    # --temporal`); --main_temporal is an ablation flag it never
+    # headlines, so the temporal bench matches the published command
+    # (3 segmenter forwards/step: current + the two warped frames)
+    tcfg = fast.replace(temporal=True, main_temporal=False)
+    seg_fn = seg_vars = None
+    if need_temporal:
         try:
+            seg_fn, seg_vars = _temporal_seg_fn(tcfg)
+            t = _measure(tcfg, seg_fn=seg_fn, seg_variables=seg_vars,
+                         n_iters=5)
+            res["temporal_fps"] = round(t, 2)
+        except Exception as e:  # must not sink the headline
+            print(f"# temporal step bench fell back to derived: "
+                  f"{type(e).__name__}: {e}")
+            try:
+                res["temporal_fps_derived"] = round(
+                    _derived_temporal_fps(fast, fps_fast), 2)
+            except Exception as e2:
+                print(f"# temporal bench skipped: {type(e2).__name__}: {e2}")
+        _write_json(path, res)
+    if "temporal_fps" in res and "temporal_cached_fps" not in res:
+        try:
+            if seg_fn is None:
+                seg_fn, seg_vars = _temporal_seg_fn(tcfg)
             # precomputed-instance fast path (`cli export-seg` +
             # `seg_cache_root`): the current-frame forward comes from disk,
             # leaving two segmenter forwards (the warped frames) per step
-            ccfg = fast.replace(temporal=True, main_temporal=False,
-                                seg_cache_root="bench-stub")
-            temporal_cached_fps = _measure(ccfg, seg_fn=seg_fn,
-                                           seg_variables=seg_vars, n_iters=5)
+            ccfg = tcfg.replace(seg_cache_root="bench-stub")
+            c = _measure(ccfg, seg_fn=seg_fn, seg_variables=seg_vars,
+                         n_iters=5)
+            res["temporal_cached_fps"] = round(c, 2)
         except Exception as e:
             print(f"# cached temporal bench skipped: "
                   f"{type(e).__name__}: {e}")
-
-    # derived reference-A100 estimate (BASELINE.md): bandwidth-bound step,
-    # measured same-silicon framework parity
-    ref_a100_est = fps_fp32 * (A100_BW / V5E_BW) * TORCH_OVER_JAX_SAME_SILICON
-    out = {
-        "metric": "train_frames_per_sec_per_chip_640x192",
-        "value": round(fps_fast, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps_fast / ref_a100_est, 3),
-        "fp32_fps": round(fps_fp32, 2),
-        "ref_a100_est_fps": round(ref_a100_est, 1),
-        "v5p_projected_fps": round(fps_fast * (V5P_BW / V5E_BW), 1),
-    }
-    if temporal_fps is not None:
-        key = "temporal_fps_derived" if temporal_derived else "temporal_fps"
-        out[key] = round(temporal_fps, 2)
-    if temporal_cached_fps is not None:
-        out["temporal_cached_fps"] = round(temporal_cached_fps, 2)
-    print(json.dumps(out))
+        _write_json(path, res)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+    else:
+        _parent()

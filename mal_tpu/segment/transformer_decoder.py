@@ -100,15 +100,28 @@ class MaskedTransformerDecoder(nn.Module):
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_mlp = MLP(C, self.mask_dim, name="mask_embed")
 
+        # Bilinear resize is linear in the pixels, so it commutes with the
+        # mask einsum: resize(Σ_c e_c F_c) = Σ_c e_c resize(F_c). The
+        # reference computes each layer's full-res masks and interpolates
+        # them down for the attention mask
+        # (`mask2former_transformer_decoder.py:433-440`); computing the
+        # attention logits directly against per-level pre-resized
+        # mask_features is mathematically identical (up to fp summation
+        # order) and lets XLA drop the 10 per-layer full-res (Q x H/4*W/4
+        # x C) einsums entirely in eval mode, where only the final masks
+        # are returned.
+        feats_at = {
+            (h, w): resize_bilinear(mask_features, h, w)
+            for (h, w) in dict.fromkeys(shapes)}
+
         def predict(output, attn_h, attn_w):
             dec_out = decoder_norm(output)
             logits = class_embed(dec_out)
             mask_embed = mask_mlp(dec_out)
             masks = jnp.einsum("bqc,bhwc->bqhw", mask_embed, mask_features)
             # attention mask at the next level's resolution: True = masked out
-            m = resize_bilinear(
-                jnp.moveaxis(masks, 1, -1), attn_h, attn_w)
-            m = jnp.moveaxis(m, -1, 1)  # (B, Q, h, w)
+            m = jnp.einsum("bqc,bhwc->bqhw", mask_embed,
+                           feats_at[(attn_h, attn_w)])
             attn_mask = (nn.sigmoid(m.reshape(B, Q, -1)) < 0.5)
             # if a query masks everything, unmask it (`:433-447`)
             all_masked = jnp.all(attn_mask, axis=-1, keepdims=True)

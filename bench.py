@@ -328,6 +328,7 @@ def _child(path: str) -> None:
     # (3 segmenter forwards/step: current + the two warped frames)
     tcfg = fast.replace(temporal=True, main_temporal=False)
     seg_fn = seg_vars = None
+    failed = False
     if need_temporal:
         try:
             seg_fn, seg_vars = _temporal_seg_fn(tcfg)
@@ -337,6 +338,7 @@ def _child(path: str) -> None:
         except Exception as e:  # must not sink the headline
             print(f"# temporal step bench fell back to derived: "
                   f"{type(e).__name__}: {e}")
+            failed = True
             try:
                 res["temporal_fps_derived"] = round(
                     _derived_temporal_fps(fast, fps_fast), 2)
@@ -355,9 +357,15 @@ def _child(path: str) -> None:
                          n_iters=5)
             res["temporal_cached_fps"] = round(c, 2)
         except Exception as e:
-            print(f"# cached temporal bench skipped: "
+            print(f"# cached temporal bench failed: "
                   f"{type(e).__name__}: {e}")
+            failed = True
         _write_json(path, res)
+    if failed:
+        # exceptions here are usually transient tunnel/remote-compile
+        # errors: exit nonzero so the parent retries the missing phases
+        # (completed ones resume from the phase file)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

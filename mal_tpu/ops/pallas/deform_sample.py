@@ -110,6 +110,104 @@ def _kernel(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
     out_ref[0, 0] = acc
 
 
+QUERY_TILE = 10 * LANE  # queries per grid step for the v4 kernel (Sq)
+
+
+def _kernel_v4(vm0_ref, vm1_ref, vm2_ref, x_ref, y_ref, aw_ref, out_ref, *,
+               shapes: tuple[tuple[int, int], ...], ch: int,
+               mxu_precision: str = "high"):
+    """One (g, tq, p) grid cell: sample every level at point p of the
+    tile's queries and ACCUMULATE into the (ch, Sq) output tile — the
+    innermost p dim has a constant output index map, so the P-sum that
+    v3 left to a 126 MB XLA post-pass happens in VMEM for free."""
+    vms = (vm0_ref, vm1_ref, vm2_ref)
+    acc = jnp.zeros((ch, QUERY_TILE), jnp.float32)
+    for lvl, (h_l, w_l) in enumerate(shapes):
+        # coord blocks are (1, 1, 1, L, Sq) views of (G, P, Tq, L, Sq)
+        x = x_ref[0, 0, 0, lvl:lvl + 1] * w_l - 0.5   # (1, Sq) continuous
+        y = y_ref[0, 0, 0, lvl:lvl + 1] * h_l - 0.5
+        aw = aw_ref[0, 0, 0, lvl:lvl + 1]
+        x0, xs0, xs1 = _corner_weights(x, w_l)
+        y0, ys0, ys1 = _corner_weights(y, h_l)
+        xs0 = xs0 * aw
+        xs1 = xs1 * aw
+
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (w_l, QUERY_TILE), 0)
+        A = (jnp.where(kcol == x0, xs0, 0.0)
+             + jnp.where(kcol == x0 + 1, xs1, 0.0))
+
+        vm = vms[lvl][0]
+        vm_hi = vm.astype(jnp.bfloat16)
+        a_hi = A.astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        if mxu_precision == "bf16":
+            U = mm(vm_hi, a_hi)
+        else:
+            vm_lo = (vm - vm_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            a_lo = (A - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            U = mm(vm_hi, a_hi) + (mm(vm_hi, a_lo) + mm(vm_lo, a_hi))
+
+        for r in range(h_l):
+            m = jnp.where(y0 == r, ys0, 0.0) + jnp.where(y0 + 1 == r, ys1,
+                                                         0.0)
+            acc = acc + m * U[r * ch:(r + 1) * ch]
+
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _init():
+        out_ref[0, 0] = acc
+
+    @pl.when(p != 0)
+    def _accum():
+        out_ref[0, 0] = out_ref[0, 0] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "ch", "n_points",
+                                              "interpret", "mxu_precision"))
+def deform_sample_fused_v4(vm0: Array, vm1: Array, vm2: Array, x: Array,
+                           y: Array, aw: Array,
+                           shapes: tuple[tuple[int, int], ...], ch: int,
+                           n_points: int, interpret: bool = False,
+                           mxu_precision: str = "high") -> Array:
+    """P-in-grid variant (v4). vm_l as in `deform_sample_fused`; x/y/aw:
+    (G, P, Tq, L, Sq) normalized-[0,1] coordinates / attention weights,
+    query-major, queries padded to Tq*Sq with aw=0. Returns
+    (G, Tq, ch, Sq) sampled values summed over levels AND points — the
+    (B, Lq, heads*ch) output needs only one friendly transpose. Block
+    shapes obey Mosaic's rule (last two dims divisible by (8, 128) or
+    equal to the array dims): the coord blocks take the full (L, Sq)
+    minor plane, the out block the full (ch, Sq)."""
+    G, P, Tq, L, Sq = x.shape
+    assert Sq == QUERY_TILE and P == n_points
+
+    def vspec(hw):
+        h_l, w_l = hw
+        return pl.BlockSpec((1, h_l * ch, w_l), lambda g, t, p: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    coord_spec = pl.BlockSpec((1, 1, 1, L, Sq),
+                              lambda g, t, p: (g, p, t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_v4, shapes=shapes, ch=ch,
+                          mxu_precision=mxu_precision),
+        grid=(G, Tq, P),
+        interpret=interpret,
+        in_specs=[vspec(shapes[0]), vspec(shapes[1]), vspec(shapes[2]),
+                  coord_spec, coord_spec, coord_spec],
+        out_specs=pl.BlockSpec((1, 1, ch, Sq), lambda g, t, p: (g, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Tq, ch, Sq), jnp.float32),
+    )(vm0, vm1, vm2, x, y, aw)
+
+
 @functools.partial(jax.jit, static_argnames=("shapes", "ch", "interpret",
                                               "mxu_precision"))
 def deform_sample_fused(vm0: Array, vm1: Array, vm2: Array, x: Array,

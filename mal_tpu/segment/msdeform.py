@@ -52,56 +52,67 @@ def ms_deform_attn_core_per_level(
     return out.reshape(B, Lq, H_ * C)
 
 
+def _level_value_mats(value: Array, spatial_shapes, G: int, C: int):
+    """Transposed level values: vm[g, r*C + c, k] = V[r, k, c]."""
+    splits = np.cumsum([h * w for h, w in spatial_shapes])[:-1].tolist()
+    values = jnp.split(jnp.moveaxis(value, 2, 1), splits, axis=2)
+    vms = []
+    for lvl, (h_l, w_l) in enumerate(spatial_shapes):
+        v = values[lvl].reshape(G, h_l, w_l, C)
+        vms.append(v.transpose(0, 1, 3, 2).reshape(G, h_l * C, w_l))
+    return vms
+
+
 def ms_deform_attn_core_pallas(value: Array,
                                spatial_shapes: list[tuple[int, int]],
                                sampling_locations: Array,
                                attention_weights: Array,
                                interpret: bool = False,
                                mxu_precision: str = "high") -> Array:
-    """Gather-free formulation: TPU gathers are index-rate-bound at ~80M
-    idx/s (~37 ms per encoder layer at 192x640), but the per-(batch, head)
-    level maps are VMEM-sized, so sampling runs as separable one-hot MXU
-    contractions instead (`mal_tpu/ops/pallas/deform_sample.py`, all three
-    levels fused in one kernel, corner math in-kernel). Exact bilinear
-    semantics (zeros padding, align_corners=False), fp32 HIGHEST-precision
-    matmuls."""
-    from mal_tpu.ops.pallas.deform_sample import (SAMPLE_TILE,
-                                                 deform_sample_fused)
+    """Gather-free formulation (v4): TPU gathers are index-rate-bound at
+    ~80M idx/s (~37 ms per encoder layer at 192x640), but the
+    per-(batch, head) level maps are VMEM-sized, so sampling runs as
+    separable one-hot MXU contractions instead
+    (`mal_tpu/ops/pallas/deform_sample.py`, all three levels fused in one
+    kernel, corner math in-kernel). Exact bilinear semantics (zeros
+    padding, align_corners=False). v4 moves the points dim into the Pallas
+    grid: the P-sum accumulates in VMEM and the kernel emits (G, C, Lq)
+    directly, killing the 126 MB (G, T, C, S) intermediate + P-sum + two
+    transposes that dominated v3's measured layer cost (9.25 ms -> the
+    kernel's ~3.5 ms + one transpose each side; benchmarks/HISTORY.md
+    round-4 entry)."""
+    from mal_tpu.ops.pallas.deform_sample import (QUERY_TILE,
+                                                 deform_sample_fused_v4)
 
     B, S, H_, C = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == 3, "fused kernel is specialized to 3 pyramid levels"
     G = B * H_
-    NS = Lq * P
 
-    splits = np.cumsum([h * w for h, w in spatial_shapes])[:-1].tolist()
-    values = jnp.split(jnp.moveaxis(value, 2, 1), splits, axis=2)
+    vms = _level_value_mats(value, spatial_shapes, G, C)
 
-    # transposed level values: vm[g, r*C + c, k] = V[r, k, c]
-    vms = []
-    for lvl, (h_l, w_l) in enumerate(spatial_shapes):
-        v = values[lvl].reshape(G, h_l, w_l, C)
-        vms.append(v.transpose(0, 1, 3, 2).reshape(G, h_l * C, w_l))
+    Tq = -(-Lq // QUERY_TILE)
+    padq = Tq * QUERY_TILE - Lq
 
-    T = -(-NS // SAMPLE_TILE)
-    pad = T * SAMPLE_TILE - NS
+    def lay(a):  # (B, Lq, H_, L, P) -> (G, P, Tq, L, Sq), query-major
+        # one big transpose (minor dim Lq=2520, contiguous) + one tiny
+        # (Tq, L) permutation with the Sq minor intact
+        a = a.transpose(0, 2, 4, 3, 1).reshape(G, P, L, Lq)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, padq)))
+        return a.reshape(G, P, L, Tq, QUERY_TILE).swapaxes(2, 3)
 
-    def lay(a):  # (B, Lq, H_, L, P) -> (G, T, L, SAMPLE_TILE), head-major
-        a = a.transpose(0, 2, 3, 1, 4).reshape(G, L, NS)
-        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
-        return a.reshape(G, L, T, SAMPLE_TILE).swapaxes(1, 2)
-
-    # padded tail samples carry aw=0 -> their A columns are all-zero
-    sampled = deform_sample_fused(
+    # padded tail queries carry aw=0 -> their A columns are all-zero
+    sampled = deform_sample_fused_v4(
         vms[0], vms[1], vms[2],
         lay(sampling_locations[..., 0]), lay(sampling_locations[..., 1]),
         lay(attention_weights),
-        shapes=tuple(spatial_shapes), ch=C, interpret=interpret,
+        shapes=tuple(spatial_shapes), ch=C, n_points=P, interpret=interpret,
         mxu_precision=mxu_precision)
 
-    sampled = sampled.transpose(0, 2, 1, 3).reshape(G, C, T * SAMPLE_TILE)
-    out = sampled[:, :, :NS].reshape(B, H_, C, Lq, P).sum(axis=4)
-    return out.transpose(0, 3, 1, 2).reshape(B, Lq, H_ * C)  # (B, Lq, H*C)
+    # (G, Tq, C, Sq) -> (B, Lq, H*C): free reshapes + ONE transpose
+    out = sampled.reshape(B, H_, Tq, C, QUERY_TILE)
+    out = out.transpose(0, 2, 4, 1, 3)        # (B, Tq, Sq, H, C)
+    return out.reshape(B, Tq * QUERY_TILE, H_ * C)[:, :Lq]
 
 
 def ms_deform_attn_core(value: Array, spatial_shapes: list[tuple[int, int]],

@@ -211,3 +211,30 @@ def test_msdeform_pallas_sampler_matches_per_level():
                                        mxu_precision="bf16")
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref),
                                rtol=0, atol=5e-2)
+
+
+def test_msdeform_pallas_multi_tile_queries():
+    """Lq > QUERY_TILE exercises the v4 kernel's (g, tq, p) index maps and
+    the cross-tile output accumulation windows (Tq=2), plus the padded
+    tail queries (aw=0 -> zero contribution)."""
+    from mal_tpu.ops.pallas.deform_sample import QUERY_TILE
+    from mal_tpu.segment.msdeform import (ms_deform_attn_core_pallas,
+                                          ms_deform_attn_core_per_level)
+
+    rng = np.random.RandomState(5)
+    B, H_, C, L, P = 1, 2, 8, 3, 2
+    Lq = QUERY_TILE + 40                      # Tq = 2, 93% pad in tile 2
+    shapes = [(4, 6), (2, 3), (1, 2)]
+    S = sum(h * w for h, w in shapes)
+    value = jnp.asarray(rng.randn(B, S, H_, C).astype(np.float32))
+    locs = jnp.asarray(rng.uniform(-0.1, 1.1,
+                                   (B, Lq, H_, L, P, 2)).astype(np.float32))
+    attn = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Lq, H_, L * P).astype(np.float32))).reshape(
+        B, Lq, H_, L, P)
+
+    ref = ms_deform_attn_core_per_level(value, shapes, locs, attn)
+    got = ms_deform_attn_core_pallas(value, shapes, locs, attn,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -46,14 +46,21 @@ class _Prefix(nn.Module):
         return full(x, max_stage=self.upto)
 
 
-def timeit(fn, *args, iters=8):
+def timeit(fn, *args, iters=10):
+    """min-of-3 rounds: the tunnel's first post-compile round carries a
+    large warm-up tail (~90 ms/call measured on a trivial program) and the
+    steady-state dispatch floor is ~1.5-2 ms/call — small-prefix absolute
+    numbers are only comparable at the round minimum."""
     out = fn(*args)
     jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
-    return (time.perf_counter() - t0) / iters * 1000
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1000)
+    return best
 
 
 def main():

@@ -355,21 +355,30 @@ class SwinTransformer(nn.Module):
                                  # scheduled over all blocks (`swin.py:584`)
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
+    def __call__(self, x: Array, train: bool = False,
+                 max_stage: int = 4) -> dict[str, Array]:
+        """`max_stage < 4` stops after that many stages (prefix timing —
+        benchmarks/bench_swin_stages.py); parameters for skipped stages
+        are simply not touched."""
         embed_dim, depths, heads, ws = CONFIGS[self.size]
         dpr = np.linspace(0.0, self.drop_path_rate, sum(depths))
         B, H, W, _ = x.shape
         assert H % 32 == 0 and W % 32 == 0
 
-        # patch embed: 4x4 conv
+        # patch embed: 4x4 conv. (A patch-reshape + matmul reformulation
+        # measured within noise of the conv — the prefix's absolute cost is
+        # mostly the tunnel dispatch floor, bench_swin_stages.py — so the
+        # simpler conv stays.)
         y = nn.Conv(embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
         y = nn.LayerNorm(name="patch_norm")(y)
 
         outs = {}
+        if max_stage == 0:
+            outs["patch"] = y        # patch-embed-only prefix
         dim = embed_dim
         cdt = jnp.bfloat16 if self.bf16_compute else None
         block0 = 0
-        for stage in range(4):
+        for stage in range(max_stage):
             from mal_tpu.ops.pallas.swin_block import fusable
             y = SwinStage(dim, heads[stage], ws, depths[stage],
                           compute_dtype=cdt, train=train,

@@ -52,16 +52,30 @@ def epipolar_cost(fmap1: Array, f2_pyramid: list[Array], coords: Array,
     """
     B, _, L, D, h, w = coords.shape
     C = fmap1.shape[-1]
+    # Chunk the D sample axis: the packed-corner gather materializes
+    # (B, h*w*dd, 4, C), so an unchunked call at production DualRefine
+    # shapes (h*w=7680, D=2r+1=17, C=128) peaks at ~0.5 GB per level —
+    # measured ~3 GiB of step transients at 192x640 (the reason the
+    # reference-default config OOMed a 16 GB v5e). The per-chunk cost
+    # reduces over C immediately, so only the (B, h*w, D, num_head)
+    # costs survive chunking; numerics are unchanged (same gathers,
+    # same reduction, different schedule).
+    chunk_budget = 256 * 2 ** 20
+    dd = max(1, min(D, chunk_budget // max(B * h * w * 4 * C * 4, 1)))
+    f1 = fmap1.reshape(B, h * w, 1, num_head, C // num_head)
     out = []
     for lv in range(num_levels):
         c = coords[:, :, lv]  # (B, 2, D, h, w)
         c = jnp.moveaxis(c, 1, -1).reshape(B, D, h * w, 2)
         c = jnp.swapaxes(c, 1, 2)  # (B, h*w, D, 2)
-        sampled = _sample_level(f2_pyramid[lv], c, h, w)  # (B, h*w, D, C)
-        sampled = sampled.reshape(B, h, w, D, C)
-        diff = jnp.abs(fmap1[:, :, :, None, :] - sampled)  # (B,h,w,D,C)
-        # heads: split channels, mean within each head
-        diff = diff.reshape(B, h, w, D, num_head, C // num_head).mean(-1)
+        costs = []
+        for d0 in range(0, D, dd):
+            sampled = _sample_level(f2_pyramid[lv], c[:, :, d0:d0 + dd],
+                                    h, w)             # (B, h*w, dd, C)
+            diff = jnp.abs(f1 - sampled.reshape(
+                B, h * w, -1, num_head, C // num_head))
+            costs.append(diff.mean(-1))               # (B, h*w, dd, heads)
+        diff = jnp.concatenate(costs, axis=2).reshape(B, h, w, D, num_head)
         # channel order (head, D) per level
         cost = jnp.swapaxes(diff, 3, 4).reshape(B, h, w, num_head * D)
         out.append(cost)

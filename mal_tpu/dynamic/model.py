@@ -37,15 +37,21 @@ class DynDepthModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.trunk = ResNetFeatures(cfg.num_layers, 1, name="encoder")
+        # TPU fast-training mode: bf16 conv trunks like MALModel (params
+        # stay fp32; the fp32 default is the exact-parity path)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        self.trunk = ResNetFeatures(cfg.num_layers, 1, dtype=dtype,
+                                    name="encoder")
         self.reduce_conv = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
-                                   name="reduce_conv")
-        self.depth = DepthDecoder(name="depth")
-        self.mono_encoder = ResnetEncoder(num_layers=18, name="mono_encoder")
-        self.mono_depth = DepthDecoder(name="mono_depth")
+                                   dtype=dtype, name="reduce_conv")
+        self.depth = DepthDecoder(dtype=dtype, name="depth")
+        self.mono_encoder = ResnetEncoder(num_layers=18, dtype=dtype,
+                                          name="mono_encoder")
+        self.mono_depth = DepthDecoder(dtype=dtype, name="mono_depth")
         self.pose_encoder = ResnetEncoder(num_layers=18, num_input_images=2,
-                                          name="pose_encoder")
-        self.pose = PoseDecoder(num_frames_to_predict_for=2, name="pose")
+                                          dtype=dtype, name="pose_encoder")
+        self.pose = PoseDecoder(num_frames_to_predict_for=2, dtype=dtype,
+                                name="pose")
 
     def _pose_from_pair(self, a: Array, b: Array, train: bool):
         feats = self.pose_encoder(jnp.concatenate([a, b], -1), train=train)

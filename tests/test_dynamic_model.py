@@ -141,3 +141,27 @@ def test_doj_metrics_restricted_to_mask():
     doj_top = jnp.zeros((1, 8, 8)).at[:, :4].set(1.0)
     m2 = doj_metrics(pred, gt, doj_top)
     assert float(m2["doj/abs_rel"]) == 1.0
+
+
+@pytest.mark.slow
+def test_dyn_train_step_bf16_fast_mode(setup):
+    """TPU fast-training mode (compute_dtype=bfloat16, round 4): the
+    DynamicDepth trunks run bf16 like MALModel's. Same param tree, loss
+    finite and close to the fp32 step's."""
+    cfg, _, batch, _ = setup
+    cfg16 = cfg.replace(compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, DynDepthModel(cfg), rng, batch)
+    state16 = create_train_state(cfg16, DynDepthModel(cfg16), rng, batch)
+    assert (jax.tree_util.tree_structure(state.params)
+            == jax.tree_util.tree_structure(state16.params))
+    tx = make_optimizer(cfg16)
+    step = jax.jit(make_dynamic_train_step(cfg16, DynDepthModel(cfg16), tx))
+    # fp32 params run through the bf16 step (params stay fp32 in fast mode)
+    _, m16 = step(state16, batch, jax.random.PRNGKey(2), jnp.zeros(()))
+    ref_step = jax.jit(make_dynamic_train_step(cfg, DynDepthModel(cfg),
+                                               make_optimizer(cfg)))
+    _, m32 = ref_step(state, batch, jax.random.PRNGKey(2), jnp.zeros(()))
+    l16, l32 = float(m16["loss"]), float(m32["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) < 0.05 * max(abs(l32), 1e-3)

@@ -430,7 +430,15 @@ class DEQDepthPose(nn.Module):
                     continue
                 steps_out = []
                 for _ in range(cfg.phantom_grad_steps):
-                    z_new = deq_func(z)
+                    # the phantom calls are the only deq_func invocations
+                    # the backward traverses (the solver runs under
+                    # stop_gradient) — rematerialize them so the epipolar
+                    # sampling / GN / GRU intermediates are recomputed
+                    # instead of stored (numerically exact; ~1 extra
+                    # deq_func forward per tap vs multi-GB of residuals at
+                    # 192x640 — the margin that admits the reference
+                    # batch 12 on a 16 GB chip)
+                    z_new = jax.checkpoint(deq_func)(z)
                     if cfg.deq_tau != 1.0:
                         # --tau damping on the fixed-point vector only
                         # (deq lib backward_factory: z <- (1-tau) z + tau

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 # public vendor HBM bandwidths (GB/s) + the measured same-silicon framework
 # ratio from benchmarks/baseline_ref.py — see module docstring / BASELINE.md
 A100_BW, V5E_BW, V5P_BW = 2039.0, 819.0, 2765.0
+V5E_PEAK_BF16 = 197e12  # flop/s, vendor peak
 TORCH_OVER_JAX_SAME_SILICON = 33.06 / 32.91  # 1.004, measured round 3
 
 # ---------------------------------------------------------------------------
@@ -92,20 +93,19 @@ def _write_json(path: str, obj: dict) -> None:
 
 
 def _emit(result: dict, note: str | None = None) -> None:
-    """Print the ONE JSON line from whatever has been measured; fall back
-    to the last committed good run, explicitly labeled stale."""
+    """Print the ONE JSON line from whatever has been measured. If nothing
+    fresh was measured, the primary keys are null — a value-only parser can
+    never mistake a stale run for a fresh one — and the last committed good
+    run rides along under the separate `last_good` key (ADVICE r4)."""
     out = dict(result)
     out.pop("_phase_done_at", None)
     if "value" not in out:
-        out = _read_json(_LAST_GOOD)
-        if "value" in out:
-            out["stale"] = True
-            out["stale_reason"] = (note or "no fresh measurement") + \
-                f"; value from committed {os.path.relpath(_LAST_GOOD, _HERE)}"
-        else:
-            out = {"metric": "train_frames_per_sec_per_chip_640x192",
-                   "value": None, "unit": "frames/s", "vs_baseline": None,
-                   "error": note or "no measurement and no fallback"}
+        out = {"metric": "train_frames_per_sec_per_chip_640x192",
+               "value": None, "unit": "frames/s", "vs_baseline": None,
+               "error": note or "no fresh measurement"}
+        last = _read_json(_LAST_GOOD)
+        if "value" in last:
+            out["last_good"] = last
     elif note:
         out["partial"] = note
     print(json.dumps(out), flush=True)
@@ -204,8 +204,36 @@ def _parent() -> None:
     _finish()
 
 
-def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
-    """Steady-state frames/s for one training-step configuration."""
+def _cost_stats(compiled) -> dict:
+    """XLA's own cost model over the OPTIMIZED (post-fusion) HLO of the
+    compiled step: total flops + bytes accessed. Bytes are XLA's HBM-traffic
+    proxy (each fused op's operands+outputs counted once); it slightly
+    overcounts true DMA traffic for VMEM-resident reuse but is the best
+    machine-readable roofline denominator available. Best-effort: {} if the
+    backend doesn't expose cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        out = {}
+        if ca.get("flops", 0) > 0:
+            out["flops"] = float(ca["flops"])
+        if ca.get("bytes accessed", 0) > 0:
+            out["bytes"] = float(ca["bytes accessed"])
+        return out
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+        return {}
+
+
+def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10,
+             cost_out: dict | None = None) -> float:
+    """Steady-state frames/s for one training-step configuration.
+
+    With `cost_out`, also records the roofline numbers for the step: XLA
+    cost-model flops/bytes (see _cost_stats) + the achieved GB/s and MFU
+    computed from the measured step time against the v5e peaks
+    (819 GB/s HBM, 197 Tflop/s bf16)."""
     from mal_tpu.data.synthetic import synthetic_batch
     from mal_tpu.models import MALModel
     from mal_tpu.train.state import create_train_state, make_optimizer
@@ -222,11 +250,20 @@ def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
                      seg_scores=inst.scores, seg_valid=inst.valid)
     state = create_train_state(cfg, model, rng, batch)
     tx = make_optimizer(cfg)
-    step = jax.jit(make_train_step(cfg, model, tx, seg_fn=seg_fn),
-                   donate_argnums=(0,))
+    jitted = jax.jit(make_train_step(cfg, model, tx, seg_fn=seg_fn),
+                     donate_argnums=(0,))
     extras = (seg_variables,) if seg_fn is not None else ()
 
     epoch = jnp.zeros(())
+    if cost_out is not None:
+        # AOT: one trace + one compile serves both the cost analysis and
+        # the measurement loop (a second jit trace of the full step costs
+        # minutes on this host and tripped the stall watchdog)
+        step = jitted.lower(state, batch, jax.random.PRNGKey(1), epoch,
+                            *extras).compile()
+        cost_out.update(_cost_stats(step))
+    else:
+        step = jitted
     # warmup / compile; device_get forces execution even over remote-attached
     # devices (block_until_ready alone does not flush the axon tunnel)
     state, metrics = step(state, batch, jax.random.PRNGKey(1), epoch, *extras)
@@ -239,6 +276,15 @@ def _measure(cfg, seg_fn=None, seg_variables=None, n_iters: int = 10) -> float:
                               *extras)
     float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / n_iters
+    if cost_out is not None:
+        cost_out["step_ms"] = round(dt * 1e3, 2)
+        if "bytes" in cost_out:
+            cost_out["achieved_gbps"] = round(cost_out["bytes"] / dt / 1e9, 1)
+            cost_out["hbm_frac"] = round(
+                cost_out["achieved_gbps"] / V5E_BW, 3)
+        if "flops" in cost_out:
+            cost_out["mfu"] = round(
+                cost_out["flops"] / dt / V5E_PEAK_BF16, 4)
     return cfg.batch_size / dt
 
 
@@ -296,12 +342,23 @@ def _child(path: str) -> None:
     fast = base.replace(**TRAIN_FAST_SETTINGS)
 
     if "value" not in res:
-        fps_fast = _measure(fast)
+        cost: dict = {}
+        fps_fast = _measure(fast, cost_out=cost)
         res.update({
             "metric": "train_frames_per_sec_per_chip_640x192",
             "value": round(fps_fast, 2), "unit": "frames/s",
             "vs_baseline": None,
             "v5p_projected_fps": round(fps_fast * (V5P_BW / V5E_BW), 1)})
+        # roofline accounting for the headline step (VERDICT r4): quantifies
+        # the "memory-bound" claim — bytes/flops from XLA's post-fusion cost
+        # model, GB/s + MFU from the measured step time vs v5e peaks
+        if "bytes" in cost:
+            res["bytes_per_step_gb"] = round(cost["bytes"] / 1e9, 2)
+        if "flops" in cost:
+            res["tflops_per_step"] = round(cost["flops"] / 1e12, 2)
+        for k in ("achieved_gbps", "hbm_frac", "mfu"):
+            if k in cost:
+                res[k] = cost[k]
         _write_json(path, res)
     fps_fast = res["value"]
 

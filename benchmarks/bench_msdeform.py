@@ -69,6 +69,12 @@ def main():
     err = float(jnp.abs(r - p).max())
     err_b = float(jnp.abs(r - pb).max())
     print(f"max_abs_err={err:.3e}  bf16_max_abs_err={err_b:.3e}")
+    # Gate the COMPILED kernel's cross-grid-step accumulation + bf16x3 path
+    # (CI only exercises interpret mode — ADVICE r4): values ~N(0,1), so
+    # these bounds catch wrong-accumulation bugs, not just noise.
+    assert err < 1e-4, f"compiled Pallas sampler diverged: {err:.3e}"
+    assert err_b < 2e-2, f"compiled bf16x3 sampler diverged: {err_b:.3e}"
+    print("PARITY_OK")
 
     t_ref = timeit(f_ref, value, locs, attn)
     t_pal = timeit(f_pal, value, locs, attn)

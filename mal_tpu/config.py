@@ -92,7 +92,14 @@ class Config:
     ins_threshold: float = 0.9    # instance score threshold for the
                                   # temporal hint (`manydepth/options.py:
                                   # 299-302` default)
-    max_instances: int = 8        # static-shape cap on instances per image
+    # static-shape cap on instances per image. The reference carries up to
+    # 100 score-filtered queries (`manydepth/dyn_utils.py:140`,
+    # `maskformer_model.py:361-380`); 16 covers busy Cityscapes frames
+    # without truncation (tests/test_temporal.py::test_max_instances_no_
+    # truncation) and the O(N^3) JV matcher scales to 32+
+    # (segment/matcher.py). Step-time cost of 8 -> 16 measured in
+    # benchmarks/HISTORY.md (round 5).
+    max_instances: int = 16
     # whole-block Pallas Swin fusion for the frozen segmenter forward
     # (ops/pallas/swin_block.py; eval-only, parameter-tree identical).
     # None = auto: on for TPU fast mode, where it measured backbone
@@ -235,6 +242,11 @@ class Config:
     # --- logging / checkpointing ---
     log_every: int = 50
     validate_every: int = 1000
+    # >0: at each validation, write this many plasma-colormapped disparity
+    # PNGs to {ckpt_dir}/images (+ wandb images when a run is active) —
+    # the reference's dormant TB image path (`manydepth/trainer.py:
+    # 1533-1585`) as a working sink (utils/vis.py:dump_disp_images)
+    log_disp_images: int = 0
     # --validate_from (`manydepth/trainer.py:514`): periodic validation only
     # after this many steps (the step-250 early validate is unaffected)
     validate_from: int = 0

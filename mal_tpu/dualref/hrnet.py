@@ -17,7 +17,7 @@ multi-resolution branch stages with SUM-fused exchange units (1x1 conv+BN
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,9 +36,9 @@ _STAGES = {  # width multipliers [1, 2, 4, 8] relative to base width
 }
 
 
-def _bn(train: bool, name: str):
+def _bn(train: bool, name: str, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=_BN_MOMENTUM,
-                        epsilon=_BN_EPS, name=name)
+                        epsilon=_BN_EPS, name=name, dtype=dtype)
 
 
 class _ConvBN(nn.Module):
@@ -46,13 +46,15 @@ class _ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     relu: bool = True
+    dtype: Any = None  # compute dtype (bf16 for the TPU fast path)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = self.kernel // 2
         x = nn.Conv(self.filters, (self.kernel,) * 2, (self.stride,) * 2,
-                    padding=((p, p), (p, p)), use_bias=False, name="conv")(x)
-        x = _bn(train, "bn")(x)
+                    padding=((p, p), (p, p)), use_bias=False, name="conv",
+                    dtype=self.dtype)(x)
+        x = _bn(train, "bn", self.dtype)(x)
         return nn.relu(x) if self.relu else x
 
 
@@ -60,6 +62,7 @@ class _HRModule(nn.Module):
     """One exchange unit: per-branch blocks + full cross-resolution fusion."""
     channels: tuple[int, ...]
     num_blocks: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs: list[Array], train: bool = False) -> list[Array]:
@@ -71,6 +74,7 @@ class _HRModule(nn.Module):
             for b in range(self.num_blocks):
                 y = BasicBlock(filters=c, stride=1,
                                downsample=(y.shape[-1] != c and b == 0),
+                               dtype=self.dtype,
                                name=f"branch{i}_block{b}")(y, train=train)
             ys.append(y)
         if n == 1:
@@ -85,6 +89,7 @@ class _HRModule(nn.Module):
                     v = ys[j]
                 elif j > i:  # upsample path: 1x1 conv+bn then bilinear resize
                     v = _ConvBN(self.channels[i], 1, 1, relu=False,
+                                dtype=self.dtype,
                                 name=f"fuse{i}_{j}")(ys[j], train=train)
                     v = resize_bilinear(v, ys[i].shape[1], ys[i].shape[2])
                 else:  # downsample path: chain of 3x3 stride-2
@@ -92,7 +97,7 @@ class _HRModule(nn.Module):
                     for k in range(i - j):
                         last = (k == i - j - 1)
                         c = self.channels[i] if last else self.channels[j]
-                        v = _ConvBN(c, 3, 2, relu=not last,
+                        v = _ConvBN(c, 3, 2, relu=not last, dtype=self.dtype,
                                     name=f"fuse{i}_{j}_{k}")(v, train=train)
                 acc = v if acc is None else acc + v
             outs.append(nn.relu(acc))
@@ -101,6 +106,9 @@ class _HRModule(nn.Module):
 
 class HRNet(nn.Module):
     base_width: int = 18  # 18 | 32 | 48 | 64
+    # compute dtype for convs/BN (bf16 TPU fast path; taps are cast back to
+    # fp32 by the caller — the DEQ solve stays fp32)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, stem_only: bool = False,
@@ -119,9 +127,9 @@ class HRNet(nn.Module):
             ch2, ch3, ch4 = ((64, 128), (64, 128, 256), (64, 128, 256, 512))
 
         # stem
-        y = _ConvBN(64, 3, 2, name="stem1")(x, train=train)
+        y = _ConvBN(64, 3, 2, dtype=self.dtype, name="stem1")(x, train=train)
         stem1 = y
-        y = _ConvBN(64, 3, 2, name="stem2")(y, train=train)
+        y = _ConvBN(64, 3, 2, dtype=self.dtype, name="stem2")(y, train=train)
         stem2 = y
         if stem_only:
             # the matching branch only needs 1/4-res stem features
@@ -136,28 +144,28 @@ class HRNet(nn.Module):
         z = y
         for b in range(4):
             z = Bottleneck(filters=64, stride=1, downsample=(b == 0),
-                           name=f"layer1_{b}")(z, train=train)
+                           dtype=self.dtype, name=f"layer1_{b}")(z, train=train)
 
         # transition1
         xs = [
-            _ConvBN(ch2[0], 3, 1, name="trans1_0")(z, train=train),
-            _ConvBN(ch2[1], 3, 2, name="trans1_1")(z, train=train),
+            _ConvBN(ch2[0], 3, 1, dtype=self.dtype, name="trans1_0")(z, train=train),
+            _ConvBN(ch2[1], 3, 2, dtype=self.dtype, name="trans1_1")(z, train=train),
         ]
         # stage2
         for m in range(_STAGES[2][0]):
-            xs = _HRModule(ch2, _STAGES[2][1], name=f"stage2_m{m}")(xs, train=train)
+            xs = _HRModule(ch2, _STAGES[2][1], dtype=self.dtype, name=f"stage2_m{m}")(xs, train=train)
         s2 = list(xs)
 
         # transition2: new lowest branch from the previous lowest
-        xs = xs + [_ConvBN(ch3[2], 3, 2, name="trans2_2")(xs[-1], train=train)]
+        xs = xs + [_ConvBN(ch3[2], 3, 2, dtype=self.dtype, name="trans2_2")(xs[-1], train=train)]
         for m in range(_STAGES[3][0]):
-            xs = _HRModule(ch3, _STAGES[3][1], name=f"stage3_m{m}")(xs, train=train)
+            xs = _HRModule(ch3, _STAGES[3][1], dtype=self.dtype, name=f"stage3_m{m}")(xs, train=train)
         s3 = list(xs)
 
         # transition3
-        xs = xs + [_ConvBN(ch4[3], 3, 2, name="trans3_3")(xs[-1], train=train)]
+        xs = xs + [_ConvBN(ch4[3], 3, 2, dtype=self.dtype, name="trans3_3")(xs[-1], train=train)]
         for m in range(_STAGES[4][0]):
-            xs = _HRModule(ch4, _STAGES[4][1], name=f"stage4_m{m}")(xs, train=train)
+            xs = _HRModule(ch4, _STAGES[4][1], dtype=self.dtype, name=f"stage4_m{m}")(xs, train=train)
         s4 = list(xs)
 
         taps = {

@@ -116,8 +116,12 @@ class DEQDepthPose(nn.Module):
         # `depth_pose.py:44-45`: hdim = cdim = 64
         self.hidden_dim = 64
         self.context_dim = 64
+        # bf16 conv trunks in the TPU fast mode (taps cast back to fp32 at
+        # the call site — the DEQ solve / GN pose update stay fp32; mirrors
+        # the manydepth fast mode, models/mal_model.py:42)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         self.trunk = HRNet(base_width=18 if cfg.num_layers == 18 else cfg.num_layers,
-                           name="cnet")
+                           dtype=dtype, name="cnet")
         self.decoder = HRDepthDecoder(name="decoder")
         self.conv2 = _FeatHead(64, name="conv2")
         self.context = _FeatHead(self.context_dim, name="context")
@@ -136,6 +140,7 @@ class DEQDepthPose(nn.Module):
             max_depth=cfg.max_depth, name="reproject_2")
         # 3 pose nets (one per camera side, `depth_pose.py:153-172`)
         self.pose_trunks = [ResNetFeatures(18, num_input_images=2,
+                                           dtype=dtype,
                                            name=f"pose_trunk_{i}")
                             for i in range(3)]
         self.pose_heads = [PoseDecoder(num_frames_to_predict_for=1,
@@ -155,7 +160,7 @@ class DEQDepthPose(nn.Module):
 
         def pose_for(s):
             feats = self.pose_trunks[s](x, train=train)
-            aa, t = self.pose_heads[s](feats[-1])
+            aa, t = self.pose_heads[s](feats[-1].astype(jnp.float32))
             return geometry.transformation_from_parameters(
                 aa[:, 0, 0], t[:, 0, 0], invert=invert)
 
@@ -205,6 +210,9 @@ class DEQDepthPose(nn.Module):
         # (`depth_pose.py:203-213`); stages/decoder run on image1's half
         taps = self.trunk(jnp.concatenate([im1, im2], axis=0), train=train,
                           stages_count=B)
+        # fast mode runs the trunk in bf16; everything downstream (decoder,
+        # epipolar sampling, GN pose update, DEQ solve) stays fp32
+        taps = jax.tree.map(lambda a: a.astype(jnp.float32), taps)
         taps1 = {**taps, "stem1": taps["stem1"][:B],
                  "stem2": taps["stem2"][:B]}
         taps2 = {"stem1": taps["stem1"][B:], "stem2": taps["stem2"][B:]}
@@ -435,9 +443,10 @@ class DEQDepthPose(nn.Module):
                     # stop_gradient) — rematerialize them so the epipolar
                     # sampling / GN / GRU intermediates are recomputed
                     # instead of stored (numerically exact; ~1 extra
-                    # deq_func forward per tap vs multi-GB of residuals at
-                    # 192x640 — the margin that admits the reference
-                    # batch 12 on a 16 GB chip)
+                    # deq_func forward per tap). Expected to trade the
+                    # multi-GB phantom residual pool at 192x640 for one
+                    # recompute; measured B=12 HBM: see
+                    # benchmarks/HISTORY.md round-5 DualRefine entry.
                     z_new = jax.checkpoint(deq_func)(z)
                     if cfg.deq_tau != 1.0:
                         # --tau damping on the fixed-point vector only

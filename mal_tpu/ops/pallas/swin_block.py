@@ -82,7 +82,7 @@ def _gelu_exact(x: Array) -> Array:
 
 
 def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                 bias_ref, wproj_ref, bproj_ref, out_ref, *,
+                 bias_ref, wproj_ref, bproj_ref, out_ref, acc_ref, *,
                  heads_per_group: int, compute_dtype):
     # x_ref: (Bb, 1, ws, 1, ws, C) — a window tile of the 6-D contiguous
     # view (B, nH, ws, nW, ws, C); the last two block dims (ws, C) equal
@@ -146,16 +146,22 @@ def _attn_kernel(x_ref, valid_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dimension_numbers=(((1,), (0,)), ((), ())), **_DOT)
     g = pl.program_id(3)
 
+    # cross-g accumulation in an fp32 VMEM scratch (g is the innermost grid
+    # dim, so one (b,i,j) cell owns the scratch for its whole g sweep);
+    # the output tile — which may be a bf16 residual stream — is written
+    # once, at the last group, from the full-precision sum
     @pl.when(g == 0)
     def _init():
-        first = part + bproj_ref[0].astype(jnp.float32)
-        out_ref[:] = first.reshape(Bb, 1, ws_h, 1, ws_w, C).astype(
-            out_ref.dtype)
+        acc_ref[:] = part + bproj_ref[0].astype(jnp.float32)
 
     @pl.when(g != 0)
     def _accum():
-        out_ref[:] = out_ref[:] + part.reshape(
-            Bb, 1, ws_h, 1, ws_w, C).astype(out_ref.dtype)
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(g == pl.num_programs(3) - 1)
+    def _emit():
+        out_ref[:] = acc_ref[:].reshape(Bb, 1, ws_h, 1, ws_w, C).astype(
+            out_ref.dtype)
 
 
 @functools.partial(
@@ -204,7 +210,7 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
     # 22.15 MB at stage-1 fp32 with the old token-count-only cap and
     # rejected it; G>1 is what admits stages 2-3 (C>=768) at all. Among
     # feasible plans, minimize G/Bb (fewer weight re-streams per token).
-    G, Bb = _attn_plan(B, C, N, num_heads, compute_dtype)
+    G, Bb = _attn_plan(B, C, N, num_heads, compute_dtype, xr.dtype)
     if G is None:
         raise ValueError(
             f"no VMEM-feasible fusion plan for C={C}, heads={num_heads}")
@@ -261,7 +267,11 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
             vec(C),
         ],
         out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((B, nH, ws, nW, ws, C), jnp.float32),
+        # output in the caller's residual-stream dtype (bf16 in the fast
+        # mode — halves the stream's HBM round trip); the cross-g sum is
+        # full fp32 in scratch either way
+        out_shape=jax.ShapeDtypeStruct((B, nH, ws, nW, ws, C), xr.dtype),
+        scratch_shapes=[pltpu.VMEM((Bb * N, C), jnp.float32)],
     )(x6, v6, ln_scale.reshape(1, C),
       ln_bias.reshape(1, C), wqkv_g, bqkv_g,
       bias_all.astype(jnp.float32), wproj, bproj.reshape(1, C))
@@ -269,13 +279,16 @@ def swin_attn_fused(xr: Array, valid: Array, ln_scale: Array,
 
 
 def _attn_plan(B: int, C: int, N: int, num_heads: int, compute_dtype,
-               budget: int = 13 * 1024 * 1024):
+               stream_dtype=jnp.float32, budget: int = 13 * 1024 * 1024):
     """(G, Bb) for `swin_attn_fused`, or (None, None) when nothing fits.
 
     Byte model per grid cell: resident group blocks (qkv columns + proj
-    rows + group bias, x2 double buffering) + per-image fp32 intermediates
-    (x/y/out/in-out tiles ~7 C-widths, qkv/attn ~Cg-widths)."""
+    rows + group bias, x2 double buffering) + per-image intermediates:
+    ~5 fp32 C-widths (x/y/scratch lumped) + stream-dtype in/out tiles +
+    qkv/attn Cg-widths. At an fp32 stream this equals the round-4 model
+    (7 fp32 C-widths); a bf16 stream frees 1 C-width -> larger Bb."""
     wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    sbytes = 2 if stream_dtype == jnp.bfloat16 else 4
     best = None
     for G in range(1, num_heads + 1):
         # Cg is the sublane dim of the (Cg, C) wproj row block: Mosaic
@@ -287,7 +300,8 @@ def _attn_plan(B: int, C: int, N: int, num_heads: int, compute_dtype,
         hg = num_heads // G
         resident = 2 * (3 * C * Cg * wbytes + Cg * C * wbytes
                         + hg * N * N * 4)
-        per_img = N * C * (4 * 7) + N * Cg * (3 * (4 + wbytes) + 4)
+        per_img = (N * C * (4 * 5 + 2 * sbytes)
+                   + N * Cg * (3 * (4 + wbytes) + 4))
         for Bb in range(B, 0, -1):
             if (B % Bb == 0 and Bb * N <= 1152 and Bb * hg <= 96
                     and resident + Bb * per_img <= budget):
@@ -298,10 +312,11 @@ def _attn_plan(B: int, C: int, N: int, num_heads: int, compute_dtype,
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, compute_dtype):
+                out_ref, acc_ref, *, compute_dtype):
     # hidden-group blocking (innermost grid dim g): gelu is elementwise
     # over the hidden axis, so z = sum_g gelu(LN(x) @ W1[:, g]) @ W2[g, :]
-    # accumulates exactly; the residual + b2 are added once at g=0.
+    # accumulates exactly in the fp32 scratch; residual + b2 fold in at
+    # the ends and the (possibly bf16) output tile is written once.
     x = x_ref[:].astype(jnp.float32)                     # (T, C)
     y = _layernorm(x, lns_ref[0].astype(jnp.float32),
                    lnb_ref[0].astype(jnp.float32))
@@ -317,12 +332,15 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     @pl.when(g == 0)
     def _init():
-        out_ref[:] = (x + z + b2_ref[0].astype(jnp.float32)).astype(
-            out_ref.dtype)
+        acc_ref[:] = z + b2_ref[0].astype(jnp.float32)
 
     @pl.when(g != 0)
     def _accum():
-        out_ref[:] = out_ref[:] + z.astype(out_ref.dtype)
+        acc_ref[:] = acc_ref[:] + z
+
+    @pl.when(g == pl.num_programs(1) - 1)
+    def _emit():
+        out_ref[:] = (x + acc_ref[:]).astype(out_ref.dtype)
 
 
 def _token_tile(n_tokens: int, target: int = 512) -> int:
@@ -349,7 +367,7 @@ def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
     # (innermost grid dim, output accumulated in VMEM); token tile T sized
     # to the same ~13 MB VMEM budget as the attention kernel. Prefer the
     # largest T (fewest weight re-streams), then the smallest G.
-    G, T = _mlp_plan(n_tokens, C, hidden, compute_dtype)
+    G, T = _mlp_plan(n_tokens, C, hidden, compute_dtype, x.dtype)
     if G is None:
         raise ValueError(f"no VMEM-feasible MLP fusion plan for C={C}")
     Hg = hidden // G
@@ -375,18 +393,22 @@ def swin_mlp_fused(x: Array, ln_scale: Array, ln_bias: Array,
             vec(C),
         ],
         out_specs=row(x),
-        out_shape=jax.ShapeDtypeStruct((n_tokens, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tokens, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((T, C), jnp.float32)],
     )(x, ln_scale.reshape(1, C), ln_bias.reshape(1, C),
       w1, b1.reshape(1, hidden), w2, b2.reshape(1, C))
 
 
 def _mlp_plan(n_tokens: int, C: int, hidden: int, compute_dtype,
-              budget: int = 13 * 1024 * 1024):
+              stream_dtype=jnp.float32, budget: int = 13 * 1024 * 1024):
     """(G, T) for `swin_mlp_fused`, or (None, None) when nothing fits.
 
     Byte model: resident W1/W2 group blocks (x2 double buffering) +
-    per-token fp32 x/y/z/out (4C) + the group's gelu hidden (Hg)."""
+    per-token fp32 y/scratch (2C) + stream-dtype x/out tiles + the group's
+    gelu hidden (Hg). At an fp32 stream this equals the round-4 model
+    (x/y/z/out = 4 fp32 C-widths); a bf16 stream buys a larger T."""
     wbytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    sbytes = 2 if stream_dtype == jnp.bfloat16 else 4
     best = None
     for G in range(1, 64 + 1):
         # Hg is the lane dim of the (C, Hg) W1 column block / (1, Hg) b1
@@ -395,7 +417,8 @@ def _mlp_plan(n_tokens: int, C: int, hidden: int, compute_dtype,
             continue
         Hg = hidden // G
         resident = 2 * 2 * C * Hg * wbytes
-        per_tok = (4 * C + Hg) * 4 + (C + Hg) * wbytes
+        per_tok = ((2 * C + Hg) * 4 + 2 * C * sbytes
+                   + (C + Hg) * wbytes)
         avail = budget - resident
         if avail < 8 * per_tok:
             continue
@@ -412,6 +435,7 @@ def fusable(dim: int, compute_dtype, window_size: int = 12) -> bool:
     configs (tiny C with odd head counts, giant windows)."""
     N = window_size * window_size
     heads = max(dim // 32, 1)  # Swin-L: heads = C/32 at every stage
-    attn_g, _ = _attn_plan(1, dim, N, heads, compute_dtype)
-    mlp_g, _ = _mlp_plan(4096, dim, 4 * dim, compute_dtype)
+    sdt = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    attn_g, _ = _attn_plan(1, dim, N, heads, compute_dtype, sdt)
+    mlp_g, _ = _mlp_plan(4096, dim, 4 * dim, compute_dtype, sdt)
     return attn_g is not None and mlp_g is not None

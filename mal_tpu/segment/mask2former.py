@@ -65,7 +65,7 @@ class Mask2Former(nn.Module):
     num_classes: int = 80
     swin_size: str = "large"
     num_queries: int = 100
-    max_instances: int = 8
+    max_instances: int = 16
     score_threshold: float = 0.0
     bgr_input: bool = True  # reference feeds BGR (`dyn_utils.py:176-178`)
     bf16_backbone: bool = False  # bf16 Swin + pixel-decoder matmuls
@@ -100,7 +100,7 @@ class Mask2Former(nn.Module):
 
 
 def instance_inference(pred_logits: Array, pred_masks: Array,
-                       out_h: int, out_w: int, max_instances: int = 8,
+                       out_h: int, out_w: int, max_instances: int = 16,
                        mask_threshold: float = 0.0) -> Instances:
     """Top-k padded instances (`maskformer_model.py:344-380`).
 
@@ -162,7 +162,7 @@ def mask2former_train_loss(model: Mask2Former, params, images: Array,
     return total, losses
 
 
-def make_seg_fn(model: Mask2Former, variables=None, max_instances: int = 8,
+def make_seg_fn(model: Mask2Former, variables=None, max_instances: int = 16,
                 mask_threshold: float = 0.0):
     """Build the `seg_fn(seg_variables, images) -> Instances` used by the
     temporal hint.

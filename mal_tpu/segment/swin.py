@@ -323,6 +323,8 @@ def _shift_mask(H: int, W: int, ws: int, shift: int) -> Array:
 
 class PatchMerging(nn.Module):
     dim: int
+    compute_dtype: object = None  # bf16 keeps the fast-mode stream bf16
+                                  # across the stage boundary (params fp32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -333,7 +335,8 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
         x = nn.LayerNorm(name="norm")(x)
-        return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
+        return nn.Dense(2 * C, use_bias=False, dtype=self.compute_dtype,
+                        name="reduction")(x)
 
 
 class SwinTransformer(nn.Module):
@@ -380,16 +383,28 @@ class SwinTransformer(nn.Module):
         block0 = 0
         for stage in range(max_stage):
             from mal_tpu.ops.pallas.swin_block import fusable
+            fused = self.fused_block and fusable(dim, cdt) and not train
+            # fast-mode fused stages carry the residual stream in bf16
+            # (the reference evaluates the frozen segmenter under autocast,
+            # `manydepth/trainer.py:573` — an fp16 stream — so a bf16
+            # stream is faithful); it halves every stream HBM pass and the
+            # fused kernels still accumulate cross-group sums in fp32.
+            # LayerNorm outputs (`out_norm*`) promote back to fp32 for the
+            # pixel decoder; the exact-fp32 parity path is untouched.
+            bf16_stream = fused and cdt == jnp.bfloat16
+            if bf16_stream:
+                y = y.astype(jnp.bfloat16)
             y = SwinStage(dim, heads[stage], ws, depths[stage],
                           compute_dtype=cdt, train=train,
-                          fused_block=self.fused_block and fusable(dim, cdt),
+                          fused_block=fused,
                           drop_rates=tuple(
                               dpr[block0:block0 + depths[stage]]),
                           name=f"stage{stage}")(y)
             block0 += depths[stage]
             out = nn.LayerNorm(name=f"out_norm{stage}")(y)
-            outs[f"res{stage + 2}"] = out
+            outs[f"res{stage + 2}"] = jnp.asarray(out, jnp.float32)
             if stage < 3:
-                y = PatchMerging(dim, name=f"merge{stage}")(y)
+                y = PatchMerging(dim, compute_dtype=cdt if bf16_stream
+                                 else None, name=f"merge{stage}")(y)
                 dim *= 2
         return outs

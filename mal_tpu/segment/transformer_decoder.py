@@ -119,7 +119,13 @@ class MaskedTransformerDecoder(nn.Module):
             logits = class_embed(dec_out)
             mask_embed = mask_mlp(dec_out)
             masks = jnp.einsum("bqc,bhwc->bqhw", mask_embed, mask_features)
-            # attention mask at the next level's resolution: True = masked out
+            # attention mask at the next level's resolution: True = masked out.
+            # Computed as einsum-vs-resized-features (the reference resizes
+            # the full-res mask logits instead); exact only up to fp summation
+            # order, and it feeds the discontinuous sigmoid<0.5 threshold —
+            # logits ~0 can flip a boundary element vs the reference. If a
+            # parity oracle ever flakes at a mask boundary, suspect this
+            # order-of-ops difference first (atol 3e-4/3e-3 passes today).
             m = jnp.einsum("bqc,bhwc->bqhw", mask_embed,
                            feats_at[(attn_h, attn_w)])
             attn_mask = (nn.sigmoid(m.reshape(B, Q, -1)) < 0.5)

@@ -421,6 +421,10 @@ class Trainer:
                 self.model, variables, self.val_batches, self.cfg,
                 min_depth_bin=state.bins.min_depth,
                 max_depth_bin=state.bins.max_depth)
+        if self.cfg.log_disp_images > 0 and self.cfg.ckpt_dir:
+            from mal_tpu.utils.vis import dump_disp_images
+            dump_disp_images(disps, os.path.join(self.cfg.ckpt_dir, "images"),
+                             self.step, n=self.cfg.log_disp_images)
         if self.gt_depths is None:
             return {"n_images": float(len(disps))}
         return evaluate_depth_maps(disps, self.gt_depths,

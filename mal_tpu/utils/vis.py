@@ -29,6 +29,44 @@ def colormap_plasma(x: np.ndarray, vmin=None, vmax=None) -> np.ndarray:
     return rgb.astype(np.uint8)
 
 
+def dump_disp_images(disps, out_dir: str, step: int, n: int = 4,
+                     to_wandb: bool = True) -> list[str]:
+    """Write the first `n` disparity maps as plasma-colormapped PNGs.
+
+    The reference's (dormant) TensorBoard image path logs
+    `colormap(outputs["disp", s])` per frame (`manydepth/trainer.py:
+    1533-1585`, `:1732-1759` colormap); here the sink is
+    `{out_dir}/step_{step}_disp_{i}.png` — plus `wandb.log` images when a
+    wandb run is active (the reference's live sink is wandb scalars only).
+    Normalization is per-image to the 95th percentile like the reference's
+    `normalize_image`/vmax convention for disparity. Returns written paths.
+    """
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, d in enumerate(disps[:n]):
+        d = np.asarray(d, np.float32)
+        if d.ndim == 3:  # (H, W, 1)
+            d = d[..., 0]
+        rgb = colormap_plasma(d, vmin=0.0, vmax=float(np.percentile(d, 95)))
+        p = os.path.join(out_dir, f"step_{step}_disp_{i}.png")
+        Image.fromarray(rgb).save(p)
+        paths.append(p)
+    if to_wandb and paths:
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log({"val/disp": [wandb.Image(p) for p in paths]},
+                          step=step)
+        except ImportError:
+            pass
+    return paths
+
+
 def sobel(img: Array) -> Array:
     """Sobel x/y gradients of a single-channel image (B, H, W, 1) -> (B, H-2, W-2, 2).
 

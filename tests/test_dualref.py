@@ -192,3 +192,38 @@ def test_per_sample_sides_selects_matching_pose_net():
         sides=jnp.asarray([0, 2], jnp.int32), train=False, mutable=False)
     assert not np.allclose(np.asarray(poses_mixed[0]),
                            np.asarray(poses_static[0]))
+
+
+@pytest.mark.slow
+def test_bf16_fast_mode_param_tree_and_forward():
+    """TPU fast mode (bf16 HRNet/pose trunks, round 5): the parameter tree
+    must be IDENTICAL to fp32 (checkpoints interchangeable — dtype only
+    changes compute), the forward must stay finite, and the DEQ-side
+    outputs must stay fp32 (the solve runs full precision)."""
+    cfg = CFG.replace(compute_dtype="bfloat16")
+    model = DEQDepthPose(cfg)
+    model32 = DEQDepthPose(CFG)
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.RandomState(0)
+    img1 = jnp.asarray(np_rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    img2 = jnp.asarray(np_rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 0.58 * 96, 1.92 * 64, 48.0, 32.0
+    K = jnp.asarray(K[None])
+
+    s16 = jax.eval_shape(lambda: model.init(rng, img1, img2, K, train=False))
+    s32 = jax.eval_shape(lambda: model32.init(rng, img1, img2, K, train=False))
+    p16 = jax.tree.map(lambda a: (a.shape, a.dtype), s16)
+    p32 = jax.tree.map(lambda a: (a.shape, a.dtype), s32)
+    assert jax.tree_util.tree_structure(p16) == \
+        jax.tree_util.tree_structure(p32)
+    assert jax.tree.leaves(p16) == jax.tree.leaves(p32)
+
+    vars_ = model.init(rng, img1, img2, K, train=False)
+    outputs, poses = model.apply(vars_, img1, img2, K, train=False,
+                                 mutable=False)
+    for k, v in outputs.items():
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            assert v.dtype == jnp.float32, (k, v.dtype)
+            assert bool(jnp.isfinite(v).all()), k
+    assert bool(jnp.isfinite(poses[1]).all())

@@ -159,3 +159,21 @@ def test_trainer_resume_roundtrip(tmp_path):
     p1 = jax.tree.leaves(jax.device_get(t1.state).params)[0]
     p2 = jax.tree.leaves(jax.device_get(t2.state).params)[0]
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_dump_disp_images(tmp_path):
+    """The disparity-image sink writes valid plasma PNGs at map size
+    (reference's dormant TB image path, `manydepth/trainer.py:1533-1585`)."""
+    from PIL import Image
+
+    from mal_tpu.utils.vis import dump_disp_images
+
+    rng = np.random.RandomState(0)
+    disps = [rng.uniform(0, 1, (24, 32)).astype(np.float32)
+             for _ in range(6)]
+    paths = dump_disp_images(disps, str(tmp_path), step=7, n=3,
+                             to_wandb=False)
+    assert len(paths) == 3
+    for p in paths:
+        img = Image.open(p)
+        assert img.size == (32, 24) and img.mode == "RGB"

@@ -124,3 +124,23 @@ def test_group_blocked_plans_match_unfused():
         out_ref = ref.apply(params, x, jnp.asarray(flag))
         out_fused = fused.apply(params, x, jnp.asarray(flag))
         np.testing.assert_allclose(out_fused, out_ref, rtol=3e-4, atol=3e-5)
+
+
+def test_bf16_stream_backbone_close_to_fp32():
+    """Fast mode (fused blocks + bf16 compute) carries the residual stream
+    in bf16 between fused kernels (round 5: halves the stream's HBM
+    traffic; faithful to the reference's autocast eval,
+    `manydepth/trainer.py:573`). Outputs must stay fp32 feature maps and
+    remain within bf16 tolerance of the exact fp32 path."""
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 64, 3))
+    ref = SwinTransformer("tiny")
+    params = jax.jit(ref.init)(jax.random.PRNGKey(3), x)
+    out_ref = ref.apply(params, x)
+    out_fast = SwinTransformer("tiny", fused_block=True,
+                               bf16_compute=True).apply(params, x)
+    for k in out_ref:
+        assert out_fast[k].dtype == jnp.float32
+        err = np.max(np.abs(np.asarray(out_fast[k])
+                            - np.asarray(out_ref[k])))
+        scale = np.max(np.abs(np.asarray(out_ref[k]))) + 1e-6
+        assert err / scale < 0.06, (k, err, scale)

@@ -168,3 +168,43 @@ def test_image_synthesis_no_instances_is_identity():
     assert not bool(has[0])
     np.testing.assert_allclose(np.asarray(syn_l), img_l)
     np.testing.assert_allclose(np.asarray(syn_n), img_n)
+
+
+def test_max_instances_no_truncation():
+    """The default `max_instances` must carry a busy frame without silently
+    truncating the temporal hint. The reference keeps up to 100
+    score-filtered queries (`manydepth/dyn_utils.py:140`,
+    `maskformer_model.py:361-380`); the old cap of 8 dropped confident
+    objects past the 8th. With 12 confident objects, the default-cap run
+    must recover exactly the same confident instance set as a high-cap run
+    (and the old cap of 8 demonstrably truncates)."""
+    from mal_tpu.config import Config
+    from mal_tpu.segment.mask2former import instance_inference
+
+    B, Q, K, n_obj = 1, 50, 19, 12
+    logits = np.full((B, Q, K + 1), -8.0, np.float32)
+    logits[..., K] = 8.0  # every query confidently background...
+    masks = np.full((B, Q, 24, 32), -8.0, np.float32)
+    for i in range(n_obj):  # ...except the first 12, one class each
+        logits[0, i, K] = -8.0
+        logits[0, i, i % K] = 8.0
+        r, c = (3 * i) % 20, (5 * i) % 28
+        masks[0, i, r:r + 4, c:c + 4] = 8.0
+
+    def confident(cap):
+        inst = instance_inference(jnp.asarray(logits), jnp.asarray(masks),
+                                  48, 64, max_instances=cap)
+        keep = np.asarray(inst.scores[0]) > 0.5
+        return (set(np.asarray(inst.classes[0])[keep].tolist()),
+                int(keep.sum()))
+
+    default_cap = Config().max_instances
+    assert default_cap >= n_obj, (
+        f"default max_instances={default_cap} cannot carry a {n_obj}-object "
+        "frame")
+    cls_default, n_default = confident(default_cap)
+    cls_high, n_high = confident(32)
+    assert n_default == n_high == n_obj
+    assert cls_default == cls_high
+    _, n_old = confident(8)
+    assert n_old < n_obj  # the old default really did truncate this frame

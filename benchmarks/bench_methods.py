@@ -34,14 +34,15 @@ from mal_tpu.data.synthetic import synthetic_batch
 
 
 def timeit_step(step, state, batch, iters=8):
-    state2, metrics = step(state, batch, jax.random.PRNGKey(1),
-                           jnp.zeros(()))
+    s, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.zeros(()))
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss), loss
     best = float("inf")
+    # state chains across rounds (never reset): the steps are built with
+    # donate_argnums=(0,), so a consumed state must not be re-passed —
+    # and donation is what lets the DualRefine reference B=12 fit v5e
     for _ in range(3):
         t0 = time.perf_counter()
-        s = state2
         for i in range(iters):
             s, metrics = step(s, batch, jax.random.PRNGKey(2 + i),
                               jnp.zeros(()))
@@ -83,13 +84,15 @@ def bench_dualref(fast: bool) -> None:
     from mal_tpu.losses import LossBalancerState
     from mal_tpu.train.state import DepthBinTracker, TrainState, make_optimizer
 
-    # Reference geometry at the largest per-chip batch that fits a 16 GB
-    # v5e (the reference default batch 12 was sized for 80 GB A100s; it
-    # compiled to 19.75 GB HBM before the epipolar-cost D-chunking cut the
-    # sampling transient — mal_tpu/dualref/corr.py — and needs 17.25 GB
-    # after, so B=8 is the v5e ceiling; DP across chips carries the rest).
-    cfg = Config(height=192, width=640, batch_size=8, method="dualrefine",
-                 frame_ids=(0, -1))
+    # Reference geometry. The reference default batch 12 was sized for
+    # 80 GB A100s: it compiled to 19.75 GB HBM before the epipolar-cost
+    # D-chunking (round 4, mal_tpu/dualref/corr.py), 17.25 GB after, and
+    # with the phantom-step jax.checkpoint + bf16 HRNet/pose trunks
+    # (round 5) the fast mode measures 15.27 GiB peak — the FULL reference
+    # batch 12 fits a 16 GB v5e in fast mode (bench_dualref_mem.py).
+    # fp32 is 15.86 GiB — over the line — so it benches at B=8.
+    cfg = Config(height=192, width=640, batch_size=12 if fast else 8,
+                 method="dualrefine", frame_ids=(0, -1))
     if fast:
         cfg = cfg.replace(**TRAIN_FAST_SETTINGS)
     rng = jax.random.PRNGKey(0)
@@ -106,9 +109,19 @@ def bench_dualref(fast: bool) -> None:
                        opt_state=tx.init(variables["params"]),
                        bins=DepthBinTracker.create(),
                        balancer=LossBalancerState.create())
-    step = jax.jit(make_dualref_train_step(cfg, model, tx))
+    # Donation only on the fast path (it is what makes B=12 fit). On the
+    # fp32 step, donation-induced buffer aliasing changes XLA fusion enough
+    # to surface a latent numeric fragility: an intermediate DEQ iterate's
+    # depth can go NaN, reaching the total only through the smoothness term
+    # (the masked reprojection hides NaN coords behind clipped gather
+    # indices). Probed 2026-08-21: same program, donate -> loss=nan,
+    # no-donate -> 1.1814 with all components finite. fp32 benches
+    # undonated (round-4 behavior); fragility noted in HISTORY.md round 5.
+    kw = dict(donate_argnums=(0,)) if fast else {}
+    step = jax.jit(make_dualref_train_step(cfg, model, tx), **kw)
     dt = timeit_step(step, state, batch)
-    print(f"dualrefine   {'bf16' if fast else 'fp32'} 192x640 B8 : "
+    print(f"dualrefine   {'bf16' if fast else 'fp32'} 192x640 "
+          f"B{cfg.batch_size:<2d}: "
           f"{dt * 1e3:7.1f} ms/step  {cfg.batch_size / dt:6.2f} fps")
 
 

@@ -443,10 +443,11 @@ class DEQDepthPose(nn.Module):
                     # stop_gradient) — rematerialize them so the epipolar
                     # sampling / GN / GRU intermediates are recomputed
                     # instead of stored (numerically exact; ~1 extra
-                    # deq_func forward per tap). Expected to trade the
-                    # multi-GB phantom residual pool at 192x640 for one
-                    # recompute; measured B=12 HBM: see
-                    # benchmarks/HISTORY.md round-5 DualRefine entry.
+                    # deq_func forward per tap). Measured round 5
+                    # (benchmarks/bench_dualref_mem.py, AOT
+                    # memory_analysis): with this checkpoint + bf16
+                    # trunks the reference B=12 at 192x640 peaks at
+                    # 15.27 GiB — it fits a 16 GB v5e (fp32: 15.86).
                     z_new = jax.checkpoint(deq_func)(z)
                     if cfg.deq_tau != 1.0:
                         # --tau damping on the fixed-point vector only

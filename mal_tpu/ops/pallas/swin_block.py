@@ -305,6 +305,14 @@ def _attn_plan(B: int, C: int, N: int, num_heads: int, compute_dtype,
         for Bb in range(B, 0, -1):
             if (B % Bb == 0 and Bb * N <= 1152 and Bb * hg <= 96
                     and resident + Bb * per_img <= budget):
+                # Objective: minimize G/Bb. Round 5 tried maximize-Bb-
+                # then-minimize-G (fewest weight re-streams: (8,4) over
+                # (3,2) at stage 2) — measured WORSE on chip (stage2
+                # 19.8 -> 23.7 ms, bench_swin_stages 2026-08-21): the
+                # re-streams are hidden behind compute by double
+                # buffering, while more groups add accumulation sweeps
+                # and per-cell overhead. Keep G/Bb; do not re-attempt
+                # without first profiling per-cell overhead.
                 if best is None or G / Bb < best[0] / best[1]:
                     best = (G, Bb)
                 break
@@ -422,6 +430,10 @@ def _mlp_plan(n_tokens: int, C: int, hidden: int, compute_dtype,
         avail = budget - resident
         if avail < 8 * per_tok:
             continue
+        # T cap 512: the round-5 attempt to let T grow to 1024 (fewer
+        # weight re-streams) measured worse alongside the attn plan change
+        # (see note there) — streams are latency-hidden; bigger tiles gave
+        # no win at production shapes.
         T = _token_tile(n_tokens, min(512, avail // per_tok))
         if best is None or (T, -G) > (best[1], -best[0]):
             best = (G, T)

@@ -139,14 +139,24 @@ def generate_dynamic_instance(mask_last: Array, mask_next: Array,
 
 def image_synthesis(warped_last: Array, warped_next: Array,
                     inst_cur: Instances, inst_last: Instances,
-                    inst_next: Instances, score_thresh: float = 0.5):
+                    inst_next: Instances, score_thresh: float = 0.5,
+                    payload_dtype=None):
     """Batch temporal-hint synthesis (`dyn_utils.py:121-170`).
 
     warped_*: (B, H, W, C) warped adjacent frames from the photometric path.
     inst_cur: instances of the current frame; inst_last/next: instances of the
     *warped* adjacent frames. Returns (syn_last, syn_next, has_ins) where
     has_ins is (B,) bool.
+
+    `payload_dtype=bf16` (TPU fast mode) moves the per-instance image
+    shifts — N full-res dynamic rolls per frame, the dominant synthesis
+    traffic — in bf16, like the photometric warp payload; outputs are cast
+    back, gradients flow through the casts.
     """
+    out_dtype = warped_last.dtype
+    if payload_dtype is not None:
+        warped_last = warped_last.astype(payload_dtype)
+        warped_next = warped_next.astype(payload_dtype)
     cur = inst_cur.threshold(score_thresh)
     last_idx, next_idx, pair_valid = match_instances(inst_last, inst_next, cur)
     pair_valid = pair_valid & cur.valid
@@ -160,5 +170,7 @@ def image_synthesis(warped_last: Array, warped_next: Array,
         syn_n = jnp.where(has, syn_n, w_next)
         return syn_l, syn_n, has
 
-    return jax.vmap(one)(warped_last, warped_next, inst_last.masks,
-                         inst_next.masks, last_idx, next_idx, pair_valid)
+    syn_l, syn_n, has = jax.vmap(one)(
+        warped_last, warped_next, inst_last.masks, inst_next.masks,
+        last_idx, next_idx, pair_valid)
+    return syn_l.astype(out_dtype), syn_n.astype(out_dtype), has

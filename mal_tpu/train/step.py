@@ -135,7 +135,9 @@ def make_loss_fn(cfg: Config, model, seg_fn: Callable | None = None
         inst_next = seg_fn(seg_variables, jax.lax.stop_gradient(warped[1]))
         syn_l, syn_n, _ = image_synthesis(
             warped[0], warped[1], inst_cur, inst_last, inst_next,
-            cfg.ins_threshold)
+            cfg.ins_threshold,
+            payload_dtype=(jnp.bfloat16
+                           if cfg.compute_dtype == "bfloat16" else None))
         return [syn_l, syn_n]
 
     def _mono_call(rng_noise, disp, color0, warped, identity, syn):

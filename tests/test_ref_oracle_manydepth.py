@@ -26,7 +26,13 @@ from tests.ref_oracle.stubs import install_reference_shims
 
 install_reference_shims()
 
-H, W = 96, 320            # model resolution (divisible by 32)
+# Full-resolution variant (VERDICT r4 next #6): MAL_ORACLE_FULLRES=1 runs
+# this same oracle at the reference's working resolution 192x640 (tens of
+# minutes on a 1-core host vs ~2 min at 96x320, so it is an opt-in env
+# knob rather than an always-on parametrization; results logged in
+# PARITY.md "Full-resolution oracle runs").
+H, W = ((192, 640) if os.environ.get("MAL_ORACLE_FULLRES") == "1"
+        else (96, 320))
 GT_H, GT_W = 144, 480     # GT resolution (exercises the disp resize)
 N_IMAGES = 4
 DRIVE = "2011_09_26/2011_09_26_drive_0002_sync"
@@ -44,7 +50,11 @@ def kitti_tree(tmp_path_factory):
     from PIL import Image
     # frames 0..N_IMAGES+1 so every eval frame f has f-1 on disk
     for f in range(N_IMAGES + 2):
-        arr = rng.randint(0, 255, size=(160, 512, 3), dtype=np.uint8)
+        # source images larger than the model res so the loader's
+        # downscale path is exercised at either oracle resolution
+        arr = rng.randint(0, 255, size=(max(160, H + 64),
+                                        max(512, W + 128), 3),
+                          dtype=np.uint8)
         # smooth a little so JPEG error stays small and photometrics are sane
         arr = (arr.astype(np.float32) + np.roll(arr, 1, 0) +
                np.roll(arr, 1, 1) + np.roll(arr, 2, 1)) / 4.0

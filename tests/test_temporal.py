@@ -208,3 +208,33 @@ def test_max_instances_no_truncation():
     assert cls_default == cls_high
     _, n_old = confident(8)
     assert n_old < n_obj  # the old default really did truncate this frame
+
+
+def test_image_synthesis_bf16_payload_close():
+    """Fast-mode bf16 synthesis payload (round 5): outputs stay the input
+    dtype and match the fp32 path within bf16 tolerance; gradients flow."""
+    H, W = 16, 32
+    rng = np.random.RandomState(1)
+    m_last = _square_mask(H, W, 4, 8, 4, 12)
+    m_next = _square_mask(H, W, 4, 8, 8, 16)
+    img_last = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    img_next = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+    cur = _make_instances([_square_mask(H, W, 4, 8, 6, 14)], [2], [0.9])
+    last_i = _make_instances([m_last], [2], [0.8])
+    next_i = _make_instances([m_next], [2], [0.8])
+
+    args = (jnp.asarray(img_last[None]), jnp.asarray(img_next[None]),
+            cur, last_i, next_i)
+    syn32 = image_synthesis(*args)
+    syn16 = image_synthesis(*args, payload_dtype=jnp.bfloat16)
+    assert syn16[0].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(syn16[0]), np.asarray(syn32[0]),
+                               atol=8e-3)
+    np.testing.assert_allclose(np.asarray(syn16[1]), np.asarray(syn32[1]),
+                               atol=8e-3)
+
+    g = jax.grad(lambda a: jnp.sum(image_synthesis(
+        a, args[1], cur, last_i, next_i,
+        payload_dtype=jnp.bfloat16)[0]))(args[0])
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0

@@ -75,7 +75,7 @@ def main():
     loss_fn = make_dynamic_loss_fn(cfg, model)
     fwd = jax.jit(lambda p, bs, b, r: loss_fn(
         p, bs, state.bins.min_depth, state.bins.max_depth, b, r,
-        jnp.zeros(())))
+        jax.random.fold_in(r, 1)))
     t_fwd = timeit(fwd, state.params, state.batch_stats, batch,
                    jax.random.PRNGKey(1))
 

@@ -164,3 +164,78 @@ def occlusion_aware_cost_volume(
     if set_missing_to_max:
         cost = cost * (1.0 - missing) + jnp.max(cost, axis=1, keepdims=True) * missing
     return cost, missing
+
+
+def occlusion_aware_cost_volume_pallas(
+    cur_feats: Array, lookup_feats: Array, rel_poses: Array,
+    K: Array, inv_K: Array, depth_bins: Array,
+    lookup_images: Array, aug_mask: Array,
+    cv_min: bool = False, set_1: bool = False, pool_th: float = 0.7,
+    set_missing_to_max: bool = True, mxu_precision: str = "highest",
+    interpret: bool = False,
+):
+    """Pallas-kernel twin of `occlusion_aware_cost_volume` for the
+    `set_1`/`cv_min` variants (the DynamicDepth defaults). The DOMD
+    occlusion mask rides the plane-sweep interpolation matmuls as one
+    extra feature channel (`ops/pallas/cost_volume_kernel.py:
+    plane_sweep_diffs_occ_pallas`), replacing the chunked grid_sample
+    formulation that dominated the step (~370 of 678 ms,
+    benchmarks/bench_dynamic_decompose.py). `pool` keeps the XLA path
+    (3-D max-pool infill needs the full depth axis).
+
+    Returns (cost_volume, missing_mask), each (B, D, h, w) — same
+    contract and quirks (ones-init saturation, missing-to-max) as the XLA
+    twin, equivalence-tested in tests/test_dynamic_model.py.
+    """
+    B, h, w, C = cur_feats.shape
+    F = lookup_feats.shape[1]
+    D = depth_bins.shape[0]
+    dtype = cur_feats.dtype
+
+    from mal_tpu.ops.pallas.cost_volume_kernel import (
+        plane_sweep_diffs_occ_pallas, plane_sweep_diffs_pallas)
+
+    P = (K[:, None] @ rel_poses)[:, :, :3, :]
+    M = jnp.einsum("bfij,bjk->bfik", P[:, :, :, :3], inv_K[:, :3, :3])
+    t = P[:, :, :, 3]
+
+    cur_rep = jnp.broadcast_to(cur_feats[:, None], lookup_feats.shape)
+    if set_1:
+        occ = _occlusion_mask(lookup_images, h, w)       # (B, F, h, w)
+        apply_occ = jnp.broadcast_to(
+            (aug_mask == 0).astype(jnp.float32)[:, None], (B, F))
+        diffs = plane_sweep_diffs_occ_pallas(
+            cur_rep.reshape(B * F, h, w, C),
+            lookup_feats.reshape(B * F, h, w, C),
+            occ.reshape(B * F, h, w), apply_occ.reshape(B * F),
+            M.reshape(B * F, 3, 3), t.reshape(B * F, 3), depth_bins,
+            pool_th=float(pool_th), interpret=interpret,
+            mxu_precision=mxu_precision)
+    else:
+        diffs = plane_sweep_diffs_pallas(
+            cur_rep.reshape(B * F, h, w, C),
+            lookup_feats.reshape(B * F, h, w, C),
+            M.reshape(B * F, 3, 3), t.reshape(B * F, 3), depth_bins,
+            interpret=interpret, mxu_precision=mxu_precision)
+    diffs = diffs.reshape(B, F, D, h, w).astype(dtype)
+
+    valid_frame = (jnp.sum(jnp.abs(rel_poses), axis=(-1, -2)) != 0)
+    valid_frame = valid_frame.astype(dtype)[:, :, None, None, None]
+    diffs = diffs * valid_frame
+
+    if cv_min:
+        d2 = jnp.where(diffs == 0, 1.0, diffs)
+        d2 = jnp.where(valid_frame > 0, d2, 1.0)
+        # ones-init saturation quirk — see the XLA twin above
+        cost = jnp.minimum(jnp.min(d2, axis=1), 1.0)
+        cost = jnp.where(cost == 1.0, 0.0, cost)
+    else:
+        cost = jnp.sum(diffs, axis=1)
+        counts = jnp.sum((diffs > 0).astype(dtype), axis=1)
+        cost = cost / (counts + 1e-7)
+
+    missing = (cost == 0).astype(dtype)
+    if set_missing_to_max:
+        cost = cost * (1.0 - missing) + jnp.max(
+            cost, axis=1, keepdims=True) * missing
+    return cost, missing

@@ -133,12 +133,28 @@ class DynDepthModel(nn.Module):
         inv_K2 = jnp.linalg.inv(K2)
         bins = compute_depth_bins(min_depth_bin, max_depth_bin,
                                   cfg.num_depth_bins, cfg.depth_binning)
-        cost, missing_mask = occlusion_aware_cost_volume(
-            jax.lax.stop_gradient(cur_feats), lookup_feats, relative_poses,
-            K2, inv_K2, bins, lookup_frames, aug_mask,
-            cv_min=cfg.cv_min, set_1=cfg.cv_set_1, pool=cfg.cv_pool,
-            pool_r=cfg.cv_pool_radius, pool_th=cfg.cv_pool_th,
-            chunk=16 if cfg.num_depth_bins % 16 == 0 else cfg.num_depth_bins)
+        if (cfg.use_pallas and not cfg.cv_pool
+                and jax.default_backend() == "tpu"):
+            # Pallas plane-sweep with the occlusion mask as an extra warped
+            # channel — the chunked grid_sample formulation was ~55% of the
+            # whole step (bench_dynamic_decompose.py; the `pool` infill
+            # variant needs the full-D 3-D max-pool and stays XLA)
+            from mal_tpu.dynamic.cost_volume import (
+                occlusion_aware_cost_volume_pallas)
+            cost, missing_mask = occlusion_aware_cost_volume_pallas(
+                jax.lax.stop_gradient(cur_feats), lookup_feats,
+                relative_poses, K2, inv_K2, bins, lookup_frames, aug_mask,
+                cv_min=cfg.cv_min, set_1=cfg.cv_set_1,
+                pool_th=cfg.cv_pool_th,
+                mxu_precision=cfg.cv_mxu_precision)
+        else:
+            cost, missing_mask = occlusion_aware_cost_volume(
+                jax.lax.stop_gradient(cur_feats), lookup_feats,
+                relative_poses, K2, inv_K2, bins, lookup_frames, aug_mask,
+                cv_min=cfg.cv_min, set_1=cfg.cv_set_1, pool=cfg.cv_pool,
+                pool_r=cfg.cv_pool_radius, pool_th=cfg.cv_pool_th,
+                chunk=(16 if cfg.num_depth_bins % 16 == 0
+                       else cfg.num_depth_bins))
         confidence = confidence_mask_from_cost(cost, missing_mask)
         outputs["lowest_cost"] = resize_nearest(
             indices_to_disparity(cost, bins)[..., None], H, W)[..., 0]

@@ -196,3 +196,150 @@ def plane_sweep_cost_volume_pallas(
     if set_missing_to_max:
         cost = cost * (1.0 - missing) + jnp.max(cost, 1, keepdims=True) * missing
     return cost, missing
+
+
+# ---------------------------------------------------------------------------
+# Occlusion-aware variant (DynamicDepth, `dynamicdepth/networks/
+# resnet_encoder.py:148-249`): identical plane-sweep warp, plus the DOMD
+# occlusion mask warped as ONE EXTRA FEATURE CHANNEL through the same
+# interpolation matmuls (bilinear warp of a channel == the same W_r
+# contraction, so the occluded-region test costs no extra pass), then the
+# reference's `cv_set_1` substitution (occluded warped features := 1.0)
+# before the per-frame L1 mean. Round-5 motivation: the XLA chunked
+# grid_sample formulation of this volume measured ~370 ms inside the
+# 678 ms DynamicDepth step (benchmarks/bench_dynamic_decompose.py) — the
+# same gather wall the manydepth kernel removed. `cv_min`/missing
+# semantics and the (rarely used) `cv_pool` infill stay in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_occ(mxu_precision: str, pool_th: float):
+    prec = {"highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT}[mxu_precision]
+    return functools.partial(_kernel_occ, prec, pool_th)
+
+
+def _kernel_occ(prec, pool_th, dbins_ref, M_ref, t_ref, apply_ref,
+                lookup_ref, cur_ref, out_ref):
+    """Like `_kernel`, with lookup_ref carrying C+1 channels (last = the
+    occlusion mask) and apply_ref (BF,) SMEM gating the substitution
+    (`aug_mask == 0` items only, `resnet_encoder.py:173`)."""
+    bi = pl.program_id(0)
+    di = pl.program_id(1)
+    d = dbins_ref[di]
+
+    h = lookup_ref.shape[1]
+    C1 = lookup_ref.shape[2]          # C + 1 (occ channel last)
+    w = lookup_ref.shape[3]
+
+    m00 = M_ref[bi, 0, 0]; m01 = M_ref[bi, 0, 1]; m02 = M_ref[bi, 0, 2]
+    m10 = M_ref[bi, 1, 0]; m11 = M_ref[bi, 1, 1]; m12 = M_ref[bi, 1, 2]
+    m20 = M_ref[bi, 2, 0]; m21 = M_ref[bi, 2, 1]; m22 = M_ref[bi, 2, 2]
+    t0 = t_ref[bi, 0]; t1 = t_ref[bi, 1]; t2 = t_ref[bi, 2]
+    apply_occ = apply_ref[bi]
+
+    u = lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    xin = lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
+
+    def row_body(v, _):
+        vf = v.astype(jnp.float32)
+        xh = d * (m00 * u + m01 * vf + m02) + t0
+        yh = d * (m10 * u + m11 * vf + m12) + t1
+        zh = d * (m20 * u + m21 * vf + m22) + t2
+        x = xh / (zh + 1e-7)
+        y = yh / (zh + 1e-7)
+
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wx0 = 1.0 - wx1
+        wy1 = y - y0
+        wy0 = 1.0 - wy1
+
+        Wx = ((xin == x0) * wx0 + (xin == (x0 + 1.0)) * wx1)  # (w, w)
+
+        rbase = jnp.min(y0).astype(jnp.int32)
+        rtop = jnp.max(y0).astype(jnp.int32) + 1
+        rbase_c = jnp.clip(rbase, -1, h)
+        rcount = jnp.clip(rtop - rbase_c + 1, 0, h + 2)
+
+        def band_body(k, warped):
+            r = rbase_c + k
+            rf = r.astype(jnp.float32)
+            in_img = (r >= 0) & (r < h)
+            s_r = ((y0 == rf) * wy0 + ((y0 + 1.0) == rf) * wy1)
+            s_r = jnp.where(in_img, s_r, 0.0)
+            rc = jnp.clip(r, 0, h - 1)
+            T_r = lookup_ref[0, rc]                 # (C+1, w)
+            W_r = Wx * s_r
+            return warped + jax.lax.dot_general(
+                T_r, W_r, (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)
+
+        warped = lax.fori_loop(
+            0, rcount, band_body, jnp.zeros((C1, w), jnp.float32))
+
+        # cv_set_1: occluded-in-lookup pixels contribute cost vs an
+        # all-ones feature vector (`resnet_encoder.py:186-189`)
+        occ_w = warped[C1 - 1:C1]                   # (1, w)
+        omask = ((occ_w > pool_th)
+                 & (apply_occ > 0.0)).astype(jnp.float32)
+        feats = warped[:C1 - 1]
+        feats = feats * (1.0 - omask) + omask       # where(omask, 1, feats)
+
+        cur_row = cur_ref[0, v]                     # (C, w)
+        diff = jnp.mean(jnp.abs(feats - cur_row), axis=0, keepdims=True)
+
+        edge = ((x >= 2.0) & (x <= w - 2) & (y >= 2.0) & (y <= h - 2))
+        inner = (u >= 2.0) & (u <= w - 3) & (vf >= 2.0) & (vf <= h - 3)
+        diff = diff * (edge & inner).astype(jnp.float32)
+
+        out_ref[0, 0, v] = diff[0]
+        return 0
+
+    lax.fori_loop(0, h, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("pool_th", "interpret",
+                                             "mxu_precision"))
+def plane_sweep_diffs_occ_pallas(cur_feats: Array, lookup_feats: Array,
+                                 occ: Array, apply_occ: Array,
+                                 M: Array, t: Array, depth_bins: Array,
+                                 pool_th: float = 0.7,
+                                 interpret: bool = False,
+                                 mxu_precision: str = "highest") -> Array:
+    """Per-frame masked L1 diffs with the cv_set_1 occlusion substitution.
+
+    cur_feats/lookup_feats: (BF, h, w, C); occ: (BF, h, w) in [0, 1];
+    apply_occ: (BF,) 1.0 where the substitution applies; M/t/depth_bins as
+    in `plane_sweep_diffs_pallas`. Returns (BF, D, h, w).
+    """
+    BF, h, w, C = cur_feats.shape
+    D = depth_bins.shape[0]
+
+    lookup_aug = jnp.concatenate(
+        [lookup_feats, occ[..., None].astype(lookup_feats.dtype)], axis=-1)
+    lookup_T = jnp.swapaxes(lookup_aug, 2, 3)        # (BF, h, C+1, w)
+    cur_T = jnp.swapaxes(cur_feats, 2, 3)
+
+    return pl.pallas_call(
+        _make_kernel_occ(mxu_precision, float(pool_th)),
+        grid=(BF, D),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # depth bins (D,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # M (BF, 3, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # t (BF, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # apply_occ (BF,)
+            pl.BlockSpec((1, h, C + 1, w), lambda b, d: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, C, w), lambda b, d: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda b, d: (b, d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BF, D, h, w), jnp.float32),
+        interpret=interpret,
+    )(depth_bins.astype(jnp.float32), M, t,
+      apply_occ.astype(jnp.float32), lookup_T, cur_T)

@@ -165,3 +165,51 @@ def test_dyn_train_step_bf16_fast_mode(setup):
     l16, l32 = float(m16["loss"]), float(m32["loss"])
     assert np.isfinite(l16)
     assert abs(l16 - l32) < 0.05 * max(abs(l32), 1e-3)
+
+
+@pytest.mark.parametrize("cv_min,set_1", [(True, True), (False, False),
+                                          (True, False), (False, True)])
+def test_occlusion_cv_pallas_matches_xla(cv_min, set_1):
+    """The Pallas occlusion-aware cost volume (round 5 — occ mask warped as
+    an extra feature channel) must match the XLA grid_sample twin in every
+    set_1/cv_min combination, including the ones-init saturation and
+    missing-to-max quirks. Interpret mode on CPU."""
+    from mal_tpu.dynamic.cost_volume import (
+        occlusion_aware_cost_volume, occlusion_aware_cost_volume_pallas)
+
+    B, F, h, w, C, D = 2, 2, 16, 32, 8, 8
+    H, W = 4 * h, 4 * w
+    rng = np.random.RandomState(0)
+    cur = jnp.asarray(rng.uniform(0, 1, (B, h, w, C)).astype(np.float32))
+    look = jnp.asarray(rng.uniform(0, 1, (B, F, h, w, C)).astype(np.float32))
+    # nontrivial pose: small rotation + translation; frame 1 of item 1 is
+    # the all-zero "missing" pose
+    pose = np.broadcast_to(np.eye(4, dtype=np.float32), (B, F, 4, 4)).copy()
+    th = 0.02
+    pose[:, :, 0, 0] = np.cos(th); pose[:, :, 0, 2] = np.sin(th)
+    pose[:, :, 2, 0] = -np.sin(th); pose[:, :, 2, 2] = np.cos(th)
+    pose[:, :, 0, 3] = 0.1; pose[:, :, 1, 3] = 0.02
+    pose[1, 1] = 0.0
+    pose = jnp.asarray(pose)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 0.58 * w, 1.92 * h, w / 2, h / 2
+    K = jnp.broadcast_to(jnp.asarray(K), (B, 4, 4))
+    inv_K = jnp.linalg.inv(K)
+    bins = jnp.linspace(0.8, 6.0, D)
+    # lookup images with BLACK (occluded) patches so the occ path fires,
+    # and aug item 1 disables the substitution there
+    imgs = rng.uniform(0.2, 1.0, (B, F, H, W, 3)).astype(np.float32)
+    imgs[:, :, 20:40, 40:90] = 0.0
+    imgs = jnp.asarray(imgs)
+    aug = jnp.asarray([0.0, 1.0])
+
+    kw = dict(cv_min=cv_min, set_1=set_1, pool_th=0.7)
+    ref_cost, ref_miss = occlusion_aware_cost_volume(
+        cur, look, pose, K, inv_K, bins, imgs, aug, pool=False,
+        chunk=D // 2, **kw)
+    pal_cost, pal_miss = occlusion_aware_cost_volume_pallas(
+        cur, look, pose, K, inv_K, bins, imgs, aug, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(pal_cost), np.asarray(ref_cost),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(pal_miss > 0.5),
+                                  np.asarray(ref_miss > 0.5))

@@ -46,13 +46,18 @@ SEQ = DRIVE.split("/")[1]
 
 
 def _make_doj_masks(rng, n):
-    """(H, W) 0/1 float masks with a dynamic blob inside the eigen crop."""
+    """(H, W) 0/1 float masks with a dynamic blob inside the eigen crop.
+
+    Coordinates scale with the oracle resolution (identical to the original
+    absolute values at 96x320): at full-res the old fixed y0=40 landed
+    ABOVE the eigen crop (which starts at 0.408*H), so the reference's own
+    `losses['doj/count']` was zero and its eval divided by zero."""
     masks = []
     for i in range(n):
         m = np.zeros((H, W), np.float32)
-        y0 = 40 + 3 * i
-        x0 = 80 + 17 * i
-        m[y0:y0 + 20, x0:x0 + 40] = 1.0
+        y0 = H * 40 // 96 + 3 * i
+        x0 = W * 80 // 320 + 17 * i
+        m[y0:y0 + H * 20 // 96, x0:x0 + W * 40 // 320] = 1.0
         masks.append(m)
     return masks
 

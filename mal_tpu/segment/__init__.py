@@ -1,5 +1,10 @@
 from mal_tpu.segment.criterion import (CriterionConfig,  # noqa: F401
                                        set_criterion, set_criterion_deep)
+from mal_tpu.segment.datasets import (CATALOGS, SegCatalog,  # noqa: F401
+                                      SemSegFolderDataset,
+                                      catalog_from_panoptic_json,
+                                      panoptic_to_targets,
+                                      semantic_to_targets)
 from mal_tpu.segment.inference import (PanopticSeg,  # noqa: F401
                                        panoptic_inference,
                                        semantic_inference, semantic_tta)

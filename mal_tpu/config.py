@@ -132,6 +132,13 @@ class Config:
     # "highest" = exact fp32 parity (69 ms), "default" = bf16 (~1e-3 cost
     # error, 41 ms); see benchmarks/HISTORY.md.
     cv_mxu_precision: str = "highest"
+    # DOMD z-buffer splat fast path (DynamicDepth): 1x splat + 3x3 max
+    # dilation of the inverse-depth map instead of the reference's x3
+    # NN-upsampled 9-subpoint splat (`rigid_warp.py:534-560`) — 1/9 the
+    # scatter index count on the index-rate-bound TPU scatter. None = auto:
+    # on for bf16 fast mode on TPU, off (exact) otherwise; see
+    # dynamic/warp.py:splat_depth for the equivalence argument.
+    domd_splat_dilate: bool | None = None
     remat: bool = False              # jax.checkpoint the loss pyramids
 
     # --- parallelism ---

@@ -1,4 +1,4 @@
-from mal_tpu.dynamic.warp import forward_warp, inverse_warp  # noqa: F401
+from mal_tpu.dynamic.warp import forward_warp, inverse_warp, splat_depth  # noqa: F401
 from mal_tpu.dynamic.cost_volume import occlusion_aware_cost_volume  # noqa: F401
 from mal_tpu.dynamic.domd import domd_warp_inputs  # noqa: F401
 from mal_tpu.dynamic.model import DynDepthModel, doj_metrics  # noqa: F401

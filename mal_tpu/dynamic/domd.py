@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from mal_tpu import geometry
 from mal_tpu.config import Config
-from mal_tpu.dynamic.warp import forward_warp
+from mal_tpu.dynamic.warp import forward_warp, splat_depth
 
 Array = jax.Array
 
@@ -40,9 +40,21 @@ def domd_warp_inputs(cfg: Config, batch: dict, teacher_disp: Array,
     doj0 = batch["doj_mask"][..., None]          # (B, H, W, 1)
     tgt = batch["color"]["0"] * doj0             # blank non-object pixels
 
-    def warp_into(T, doj_adj, color_adj):
-        img_w, _, _ = forward_warp(tgt, teacher_depth,
-                                   jax.lax.stop_gradient(T), K3, upscale=3)
+    # the z-buffer scatter depends only on (depth, T, K): splat ONCE per
+    # pose and share across the color / lookup warps below (the scatter is
+    # the dominant DOMD cost — see splat_depth's docstring). `dilate` is
+    # the fast-mode 1x-splat approximation, auto-on with bf16 fast mode.
+    dilate = cfg.domd_splat_dilate
+    if dilate is None:
+        dilate = (cfg.compute_dtype == "bfloat16"
+                  and jax.default_backend() == "tpu")
+    T_m1 = jax.lax.stop_gradient(T_0m1)
+    T_p1 = jax.lax.stop_gradient(T_0p1)
+    inv_m1 = splat_depth(teacher_depth, T_m1, K3, upscale=3, dilate=dilate)
+
+    def warp_into(T, doj_adj, color_adj, inv_map):
+        img_w, _, _ = forward_warp(tgt, teacher_depth, T, K3, upscale=3,
+                                   inv_map=inv_map)
         out = jnp.where(doj_adj[..., None] == 1, 0.0, color_adj)
         # --no_reproj_doj (`dynamicdepth/trainer.py:507-511,530-534`):
         # blank the warped-object landing zone instead of infilling it with
@@ -52,16 +64,21 @@ def domd_warp_inputs(cfg: Config, batch: dict, teacher_disp: Array,
                         0.0 if cfg.no_reproj_doj else img_w, out)
         return jax.lax.stop_gradient(out)
 
-    color_m1 = warp_into(T_0m1, batch["doj_mask-1"], batch["color"]["-1"])
+    color_m1 = warp_into(T_m1, batch["doj_mask-1"], batch["color"]["-1"],
+                         inv_m1)
     color_p1 = batch["color"]["1"]
     if is_train:
-        color_p1 = warp_into(T_0p1, batch["doj_mask+1"], batch["color"]["1"])
+        inv_p1 = splat_depth(teacher_depth, T_p1, K3, upscale=3,
+                             dilate=dilate)
+        color_p1 = warp_into(T_p1, batch["doj_mask+1"], batch["color"]["1"],
+                             inv_p1)
 
     # cost-volume lookup frames for non-augmented items use the *augmented*
-    # current frame's objects (`trainer.py:513-521`)
+    # current frame's objects (`trainer.py:513-521`); same pose as color_m1
+    # -> same splat, shared
     tgt_aug = batch["color_aug"]["0"] * doj0
-    img_w_aug, _, _ = forward_warp(tgt_aug, teacher_depth,
-                                   jax.lax.stop_gradient(T_0m1), K3, upscale=3)
+    img_w_aug, _, _ = forward_warp(tgt_aug, teacher_depth, T_m1, K3,
+                                   upscale=3, inv_map=inv_m1)
     warp_frame = lookup_frames[:, 0]
     warp_frame = jnp.where(batch["doj_mask-1"][..., None] == 1, 0.0, warp_frame)
     warp_frame = jnp.where(img_w_aug > 0, img_w_aug, warp_frame)

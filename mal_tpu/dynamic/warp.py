@@ -51,21 +51,31 @@ def inverse_warp(img: Array, depth: Array, T: Array, K3: Array):
     return warped, valid
 
 
-@functools.partial(jax.jit, static_argnames=("upscale",))
-def forward_warp(img: Array, depth: Array, T: Array, K3: Array,
-                 upscale: int = 3):
-    """Forward-warp `img` (and depth) from the source view to the view at T.
+@functools.partial(jax.jit, static_argnames=("upscale", "dilate"))
+def splat_depth(depth: Array, T: Array, K3: Array, upscale: int = 3,
+                dilate: bool = False) -> Array:
+    """z-buffered forward splat of a depth map; returns inv-depth (B, H, W).
 
-    img: (B, H, W, C); depth: (B, H, W) source depth; T: (B, 4, 4) source->
-    target (the reference passes a [B,3,4] pose); K3: (B, 3, 3).
-    Returns (img_w, depth_w, valid), each zeroed outside validity — matching
-    `rigid_warp.py:534-597` including the truncating `.long()` pixel cast.
+    Depends only on (depth, T, K3) — NOT on the image being warped — so the
+    DOMD block (`domd.py`) computes it once per pose and reuses it across
+    the color / lookup-frame warps of the same pose.
+
+    `dilate=True` is the TPU fast-mode path: the reference's x`upscale`
+    NN-upsampled splat (`rigid_warp.py:534-560`) exists to close sub-pixel
+    holes — its 9 sub-points share one inv_z (NN depth) and, at production
+    pose magnitudes, land within the 3x3 neighbourhood of the central cell.
+    Splatting at 1x and max-dilating the inverse-depth map 3x3 covers the
+    same cells with the same inv_z at 1/9 the scatter index count (the
+    scatter is index-rate-bound: 87.4 ms at 12.4 M points vs ~10 ms at
+    1.4 M on v5e, benchmarks/HISTORY.md round 5 cont.). Differences vs the
+    exact splat are confined to boundary cells the sub-point set did not
+    actually reach; exact path stays the default for parity oracles.
     """
-    B, H, W, _ = img.shape
-
-    depth_u = _upsample_nn(depth, upscale)
-    Ku = K3 * jnp.asarray([[upscale], [upscale], [1.0]], K3.dtype)
-    pix = geometry.pixel_grid(H * upscale, W * upscale, depth.dtype)
+    B, H, W = depth.shape
+    u = 1 if dilate else upscale
+    depth_u = _upsample_nn(depth, u) if u > 1 else depth
+    Ku = K3 * jnp.asarray([[u], [u], [1.0]], K3.dtype)
+    pix = geometry.pixel_grid(H * u, W * u, depth.dtype)
     rays = jnp.einsum("bij,jn->bin", jnp.linalg.inv(Ku), pix)
     cam = rays * depth_u.reshape(B, 1, -1)  # (B, 3, uHW)
 
@@ -93,6 +103,29 @@ def forward_warp(img: Array, depth: Array, T: Array, K3: Array,
         return jnp.where(jnp.isfinite(buf) & (buf > 0), buf, 0.0)
 
     inv_map = jax.vmap(splat)(flat, vals).reshape(B, H, W)
+    if dilate:
+        inv_map = jax.lax.reduce_window(
+            inv_map, 0.0, jax.lax.max, (1, 3, 3), (1, 1, 1),
+            [(0, 0), (1, 1), (1, 1)])
+    return inv_map
+
+
+@functools.partial(jax.jit, static_argnames=("upscale", "dilate"))
+def forward_warp(img: Array, depth: Array, T: Array, K3: Array,
+                 upscale: int = 3, dilate: bool = False,
+                 inv_map: Array | None = None):
+    """Forward-warp `img` (and depth) from the source view to the view at T.
+
+    img: (B, H, W, C); depth: (B, H, W) source depth; T: (B, 4, 4) source->
+    target (the reference passes a [B,3,4] pose); K3: (B, 3, 3).
+    Returns (img_w, depth_w, valid), each zeroed outside validity — matching
+    `rigid_warp.py:534-597` including the truncating `.long()` pixel cast.
+    Pass a precomputed `inv_map` (from `splat_depth`) to share the scatter
+    across warps of the same (depth, T).
+    """
+    B, H, W, _ = img.shape
+    if inv_map is None:
+        inv_map = splat_depth(depth, T, K3, upscale=upscale, dilate=dilate)
     fw_val = (inv_map > 0)
     depth_w = jnp.where(fw_val, 1.0 / jnp.maximum(inv_map, 1e-12), 0.0)
 

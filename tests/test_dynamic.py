@@ -150,3 +150,102 @@ def test_occlusion_cv_pool_mode_runs():
         jnp.asarray(K), jnp.asarray(invK), bins, jnp.asarray(imgs),
         jnp.zeros((2,)), pool=True, pool_r=2, pool_th=0.15, chunk=4)
     assert np.isfinite(np.asarray(c)).all()
+
+
+def test_splat_depth_shared_inv_map_matches_direct():
+    """forward_warp(inv_map=splat_depth(...)) == forward_warp(...) — the
+    DOMD block shares one splat across same-pose warps (domd.py)."""
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 32, 48
+    from mal_tpu.dynamic.warp import splat_depth
+    img = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    depth = (5.0 + 3.0 * rng.rand(B, H, W)).astype(np.float32)
+    T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    T[:, 0, 3], T[:, 2, 3] = 0.05, -0.2
+    K = _camera(B, H, W)
+    args = (jnp.asarray(depth), jnp.asarray(T), jnp.asarray(K))
+
+    direct = forward_warp(jnp.asarray(img), *args, upscale=3)
+    inv = splat_depth(*args, upscale=3)
+    shared = forward_warp(jnp.asarray(img), *args, upscale=3, inv_map=inv)
+    for a, b in zip(direct, shared):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_splat_depth_dilate_fast_path():
+    """The 1x-splat + 3x3 max-dilation fast path (cfg.domd_splat_dilate):
+    coverage is a superset of the exact x3 splat's, the moved object's
+    bbox is unchanged, and inverse depths agree on the common cover."""
+    from mal_tpu.dynamic.warp import splat_depth
+    B, H, W = 1, 48, 64
+    K = _camera(B, H, W)
+    yy = np.linspace(0, 1, H, dtype=np.float32)[:, None]
+    depth = np.broadcast_to(8.0 + 4.0 * yy, (B, H, W)).astype(np.float32)
+    img = np.zeros((B, H, W, 3), np.float32)
+    img[0, 14:30, 20:44] = 0.8
+    T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    T[:, 0, 3], T[:, 2, 3] = 0.08, -0.4
+
+    args = (jnp.asarray(depth), jnp.asarray(T), jnp.asarray(K))
+    inv_e = np.asarray(splat_depth(*args, upscale=3))
+    inv_d = np.asarray(splat_depth(*args, upscale=3, dilate=True))
+
+    cov_e, cov_d = inv_e > 0, inv_d > 0
+    # dilation may only ADD coverage (hole filling), never lose it
+    assert (cov_d | ~cov_e).all()
+    common = cov_e & cov_d
+    np.testing.assert_allclose(inv_d[common], inv_e[common], rtol=0.05)
+
+    w_e, _, _ = forward_warp(jnp.asarray(img), *args, upscale=3)
+    w_d, _, _ = forward_warp(jnp.asarray(img), *args, upscale=3, dilate=True)
+    w_e, w_d = np.asarray(w_e), np.asarray(w_d)
+    ye, xe = np.where(w_e[0, :, :, 0] > 0)
+    yd, xd = np.where(w_d[0, :, :, 0] > 0)
+    # same landing bbox (+-1 px), >= as many covered object pixels
+    assert abs(ye.min() - yd.min()) <= 1 and abs(ye.max() - yd.max()) <= 1
+    assert abs(xe.min() - xd.min()) <= 1 and abs(xe.max() - xd.max()) <= 1
+    assert len(yd) >= len(ye)
+
+
+def test_domd_splat_dilate_flag_resolution():
+    """domd_splat_dilate=None resolves to exact off-TPU (parity oracles run
+    on CPU unchanged); explicit True engages the dilated splat."""
+    from mal_tpu.config import Config
+    from mal_tpu.dynamic.domd import domd_warp_inputs
+
+    B, H, W = 1, 24, 32
+    rng = np.random.RandomState(2)
+    img0 = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    doj = np.zeros((B, H, W), np.float32)
+    doj[:, 8:16, 10:22] = 1.0
+    K4 = np.eye(4, dtype=np.float32)
+    K4[0, 0], K4[1, 1], K4[0, 2], K4[1, 2] = 0.58 * W, 1.92 * H, W / 2, H / 2
+    batch = {
+        "color": {"0": jnp.asarray(img0), "-1": jnp.asarray(img0),
+                  "1": jnp.asarray(img0)},
+        "color_aug": {"0": jnp.asarray(img0)},
+        "doj_mask": jnp.asarray(doj),
+        "doj_mask-1": jnp.asarray(doj), "doj_mask+1": jnp.asarray(doj),
+        "K": jnp.asarray(np.broadcast_to(K4, (B, 4, 4)).copy()),
+    }
+    disp = jnp.full((B, H, W, 1), 0.3, jnp.float32)
+    T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    T[:, 0, 3] = 0.1
+    T = jnp.asarray(T)
+    lookup = img0[:, None]
+    aug = jnp.zeros((B,))
+
+    def run(**kw):
+        cfg = Config(height=H, width=W, batch_size=B, method="dynamicdepth",
+                     **kw)
+        return domd_warp_inputs(cfg, batch, disp, T, T, aug,
+                                jnp.asarray(lookup))
+
+    auto = run()                       # None -> exact on CPU
+    exact = run(domd_splat_dilate=False)
+    for a, b in zip(auto, exact):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the dilated variant runs and produces the same shapes
+    dil = run(domd_splat_dilate=True)
+    for a, b in zip(dil, exact):
+        assert np.asarray(a).shape == np.asarray(b).shape
